@@ -1,0 +1,102 @@
+"""Resize-kernel parity vs torch (area mode) and cv2 (bilinear) oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import torch
+import torch.nn.functional as TF
+import cv2
+
+from truely_tpu.ops.resize import (
+    resize_area,
+    resize_bilinear,
+    integral_image,
+    crop_resize_area,
+    crop_resize_bilinear,
+)
+
+
+@pytest.mark.parametrize("hw,ohw", [
+    ((360, 640), (216, 384)),   # pyramid scale 0 at m=0.6
+    ((360, 640), (13, 22)),     # deepest pyramid level
+    ((101, 57), (72, 41)),      # awkward ratios
+    ((48, 48), (24, 24)),       # exact 2x
+])
+def test_resize_area_matches_torch(hw, ohw):
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, size=(2, *hw, 3), dtype=np.uint8)
+    got = np.asarray(resize_area(jnp.asarray(x), ohw))
+    xt = torch.from_numpy(x.astype(np.float32)).permute(0, 3, 1, 2)
+    expect = TF.interpolate(xt, size=ohw, mode="area").permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+def test_crop_resize_area_matches_torch_adaptive_pool():
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(2, 90, 120, 3), dtype=np.uint8)
+    bounds = np.array(
+        [
+            [[5, 10, 53, 70], [0, 0, 120, 90], [7, 7, 8, 8]],
+            [[100, 80, 120, 90], [3, 3, 3, 3], [0, 0, 24, 24]],
+        ],
+        dtype=np.int32,
+    )  # (B=2, K=3, 4) x0,y0,x1,y1 ; includes a 1x1 crop and an empty crop
+    out = np.asarray(
+        crop_resize_area(integral_image(jnp.asarray(frames)), jnp.asarray(bounds), 24)
+    )
+    for b in range(2):
+        for k in range(3):
+            x0, y0, x1, y1 = bounds[b, k]
+            if x1 <= x0 or y1 <= y0:
+                assert np.all(out[b, k] == 0)
+                continue
+            crop = frames[b, y0:y1, x0:x1].astype(np.float32)
+            t = torch.from_numpy(crop).permute(2, 0, 1)[None]
+            expect = TF.adaptive_avg_pool2d(t, 24)[0].permute(1, 2, 0).numpy()
+            np.testing.assert_allclose(out[b, k], expect, atol=1e-3)
+
+
+def test_crop_resize_bilinear_matches_cv2():
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, size=(1, 130, 200, 3), dtype=np.uint8)
+    bounds = np.array([[[10, 20, 90, 110], [0, 0, 200, 130]]], dtype=np.int32)
+    out = np.asarray(crop_resize_bilinear(jnp.asarray(frames), jnp.asarray(bounds), 80))
+    for k in range(2):
+        x0, y0, x1, y1 = bounds[0, k]
+        expect = cv2.resize(
+            frames[0, y0:y1, x0:x1], (80, 80), interpolation=cv2.INTER_LINEAR
+        ).astype(np.float32)
+        # cv2 runs fixed-point bilinear; allow ~1 grey-level.
+        np.testing.assert_allclose(out[0, k], expect, atol=1.0)
+
+
+def test_crop_resize_bilinear_upsample():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(1, 64, 64, 3), dtype=np.uint8)
+    bounds = np.array([[[10, 10, 30, 30]]], dtype=np.int32)  # 20x20 -> 80x80 upsample
+    out = np.asarray(crop_resize_bilinear(jnp.asarray(frames), jnp.asarray(bounds), 80))
+    expect = cv2.resize(
+        frames[0, 10:30, 10:30], (80, 80), interpolation=cv2.INTER_LINEAR
+    ).astype(np.float32)
+    np.testing.assert_allclose(out[0, 0], expect, atol=1.0)
+
+
+def test_resize_bilinear_matches_cv2():
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, size=(1, 100, 160, 3), dtype=np.uint8)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (50, 80)))[0]
+    expect = cv2.resize(x[0], (80, 50), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+    np.testing.assert_allclose(got, expect, atol=1.0)
+
+
+def test_integral_image_exact():
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, size=(1, 33, 47, 3), dtype=np.uint8)
+    integ = np.asarray(integral_image(jnp.asarray(x)))
+    assert integ.dtype == np.int32
+    assert integ[0, -1, -1, 0] == x[0, :, :, 0].sum()
+    assert integ[0, 0].sum() == 0 and integ[0, :, 0].sum() == 0
+    # random rectangle
+    s = integ[0, 20, 30, 1] - integ[0, 5, 30, 1] - integ[0, 20, 8, 1] + integ[0, 5, 8, 1]
+    assert s == x[0, 5:20, 8:30, 1].sum()

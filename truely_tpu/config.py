@@ -1,0 +1,99 @@
+"""Typed configuration for the whole framework.
+
+The reference hardcodes every knob (thresholds 0.99/15 at server/model.py:16-17,
+~7 Hz sampling at :40, 80x80 crops at :41, port 5001 at server/server.py:976,
+360p quality cap at :251, TTLs at :88/:105).  Here they are lifted into frozen
+dataclasses so they are explicit, testable, and usable as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MTCNNConfig:
+    """Cascade parameters (facenet_pytorch MTCNN defaults, which the reference
+    uses via the bare ``MTCNN()`` ctor at server/model.py:18)."""
+
+    min_face_size: int = 20
+    # Stage score thresholds for P-Net / R-Net / O-Net.
+    thresholds: Tuple[float, float, float] = (0.6, 0.7, 0.7)
+    # Pyramid decimation factor between scales.
+    scale_factor: float = 0.709
+    # NMS IoU thresholds: per-scale P-Net, cross-scale P-Net, R-Net, O-Net.
+    nms_thresholds: Tuple[float, float, float, float] = (0.5, 0.7, 0.7, 0.7)
+    # Fixed capacities (TPU-native replacement for dynamic box counts):
+    # top-K P-Net candidates kept per pyramid scale, after merging scales,
+    # after R-Net, and after O-Net.
+    pnet_topk_per_scale: int = 128
+    pnet_topk_total: int = 256
+    rnet_capacity: int = 64
+    onet_capacity: int = 32
+    # Select the largest-area box first (facenet_pytorch select_largest=True,
+    # which is what makes reference model.py:49 ``boxes[0]`` the largest face).
+    select_largest: bool = True
+
+    @property
+    def num_stages(self) -> int:
+        return 3
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """End-to-end visual detector parameters (reference server/model.py)."""
+
+    mtcnn: MTCNNConfig = MTCNNConfig()
+    # Cosine-similarity threshold below which a frame-pair is "drifting"
+    # (reference model.py:16).
+    similarity_threshold: float = 0.99
+    # Consecutive drifting sampled-frames before flagging (model.py:17).
+    run_length_threshold: int = 15
+    # Face-crop side fed to FaceNet.  The reference uses 80 (model.py:41),
+    # NOT FaceNet's canonical 160 — reproduced under reference_compat.
+    crop_size: int = 80
+    # Frames-per-second of *analysis*; sampling interval is
+    # ``max(1, int(fps / sample_hz))`` (model.py:40).
+    sample_hz: int = 7
+    # Device batch size for sampled frames.
+    frame_batch: int = 32
+    # Reproduce reference quirks exactly: BGR input to MTCNN, /255 crop
+    # scaling without fixed standardization, largest-face-only selection.
+    reference_compat: bool = True
+    # Compute dtype for conv stacks (params stay fp32; MXU runs bf16).
+    compute_dtype: str = "bfloat16"
+    # Long-video weighting kicks in above this many seconds (model.py:91).
+    long_video_seconds: int = 30
+    # Run per-face tracks instead of first-face-only (BASELINE config 4).
+    multi_face: bool = False
+    max_tracks: int = 4
+
+    def sample_interval(self, fps: int) -> int:
+        return max(1, int(fps / self.sample_hz))
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """API server parameters (reference server/server.py)."""
+
+    host: str = "0.0.0.0"
+    port: int = 5001
+    result_ttl_seconds: float = 3600.0
+    cleanup_period_seconds: float = 300.0
+    default_quality: str = "360p"
+    video_download_timeout: float = 180.0
+    audio_download_timeout: float = 120.0
+    probe_timeout: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AgentsConfig:
+    """Fact-check agent parameters (reference server/web/)."""
+
+    groq_model: str = "whisper-large-v3-turbo"
+    gemini_model: str = "gemini-2.5-flash"
+    gemini_temperature: float = 0.2
+    tavily_max_results: int = 5
+    search_query_max_chars: int = 350
+    fallback_query_words: int = 30

@@ -1,0 +1,20 @@
+"""TPU-native compute ops: resize, crop-resize, NMS, box algebra, temporal scan."""
+
+from truely_tpu.ops.temporal import (  # noqa: F401
+    temporal_consistency,
+    TemporalResult,
+    weighted_score,
+)
+from truely_tpu.ops.resize import (  # noqa: F401
+    resize_area,
+    resize_bilinear,
+    crop_resize_bilinear,
+)
+from truely_tpu.ops.boxes import (  # noqa: F401
+    bbreg,
+    rerec,
+    clip_boxes,
+    box_area,
+    iou_matrix,
+)
+from truely_tpu.ops.nms import nms_masked  # noqa: F401

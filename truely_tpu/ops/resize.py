@@ -1,0 +1,233 @@
+"""Resize / crop-resize kernels.
+
+Three distinct samplers are needed to reproduce the reference stack's
+behaviour on TPU without dynamic shapes:
+
+1. ``resize_area`` — PyTorch ``F.interpolate(mode='area')`` (== adaptive
+   average pooling) with *static* output size.  This is what facenet_pytorch's
+   ``imresample`` applies to every pyramid level.  Implemented as two
+   separable averaging **matmuls** so the whole pyramid runs on the MXU:
+   ``out = R_h @ x @ R_w^T`` with exact integer bin edges
+   ``[floor(i*H/OH), ceil((i+1)*H/OH))``.
+
+2. ``crop_resize_area`` — the same semantics over *dynamic* per-box crops
+   (the R-Net/O-Net stage inputs).  Dynamic bin widths rule out static
+   matrices, so it uses an exact int32 **integral image**: the sum over any
+   integer-aligned bin is four gathers, and uint8 sums at 1080p stay well
+   inside int32.
+
+3. ``crop_resize_bilinear`` — cv2.INTER_LINEAR semantics (half-pixel centers,
+   clamp-to-edge, no antialiasing) over dynamic crops, for the 80x80 face
+   crop of reference server/model.py:57.
+
+All are pure jnp (gathers + matmuls) so XLA fuses them with the surrounding
+normalization; a Pallas variant is only warranted if profiling shows the
+gathers dominating.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Static-size area resize (pyramid levels)
+# ---------------------------------------------------------------------------
+
+
+def _area_matrix(in_size: int, out_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(out_size, in_size) row-averaging matrix with adaptive-pool bin edges."""
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        s = (i * in_size) // out_size
+        e = -((-(i + 1) * in_size) // out_size)  # ceil
+        mat[i, s:e] = 1.0 / (e - s)
+    return jnp.asarray(mat, dtype=dtype)
+
+
+def resize_area(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Exact 'area'-mode resize of (..., H, W, C) to (..., OH, OW, C).
+
+    Matches torch.nn.functional.interpolate(mode='area') /
+    adaptive_avg_pool2d bit-for-bit up to f32 summation order.  Precision is
+    pinned to HIGHEST because the TPU MXU default (bf16 inputs) would cost
+    ~0.4% error on raw pixel values; pass a lower precision explicitly when
+    the consumer tolerates it.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x.astype(jnp.float32)
+    rh = _area_matrix(h, oh)  # (OH, H)
+    rw = _area_matrix(w, ow)  # (OW, W)
+    xf = x.astype(jnp.float32)
+    # (..., H, W, C) -> (..., OH, W, C): contract H.
+    y = jnp.einsum("oh,...hwc->...owc", rh, xf, precision=precision)
+    # (..., OH, W, C) -> (..., OH, OW, C): contract W.
+    return jnp.einsum("pw,...owc->...opc", rw, y, precision=precision)
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-style resize of (..., H, W, C) with static sizes,
+    as two separable interpolation matmuls (MXU-friendly)."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+
+    def lerp_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+        mat = np.zeros((out_size, in_size), dtype=np.float32)
+        scale = in_size / out_size
+        for i in range(out_size):
+            src = (i + 0.5) * scale - 0.5
+            src = min(max(src, 0.0), in_size - 1.0)
+            lo = int(np.floor(src))
+            hi = min(lo + 1, in_size - 1)
+            f = src - lo
+            mat[i, lo] += 1.0 - f
+            mat[i, hi] += f
+        return jnp.asarray(mat)
+
+    rh = lerp_matrix(h, oh)
+    rw = lerp_matrix(w, ow)
+    xf = x.astype(jnp.float32)
+    p = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,...hwc->...owc", rh, xf, precision=p)
+    return jnp.einsum("pw,...owc->...opc", rw, y, precision=p)
+
+
+# ---------------------------------------------------------------------------
+# Integral image + dynamic-crop area resize (cascade stage crops)
+# ---------------------------------------------------------------------------
+
+
+def integral_image(frames: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 integral image of (B, H, W, C) uint8 frames.
+
+    Returns (B, H+1, W+1, C) with I[b, i, j] = sum over frames[b, :i, :j].
+    255 * 1920 * 1080 < 2^31, so int32 is exact at 1080p.
+    """
+    s = jnp.cumsum(jnp.cumsum(frames.astype(jnp.int32), axis=1), axis=2)
+    return jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+
+def _bin_edges(start, length, out_size: int):
+    """Adaptive-pool bin edges for a dynamic-length segment.
+
+    start, length: () int32 arrays.  Returns (s, e) each (out_size,) int32,
+    absolute coordinates; for empty segments (length <= 0) returns s == e.
+    """
+    i = jnp.arange(out_size, dtype=jnp.int32)
+    length = jnp.maximum(length, 0)
+    s = start + (i * length) // out_size
+    e = start + -((-(i + 1) * length) // out_size)
+    return s, jnp.maximum(e, s)
+
+
+def _crop_area_one(integral: jnp.ndarray, bounds: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Area-resize one dynamic crop from one frame's integral image.
+
+    integral: (H+1, W+1, C) int32; bounds: (4,) int32 half-open
+    (x0, y0, x1, y1).  Returns (out_size, out_size, C) float32; zeros if the
+    crop is empty.
+    """
+    x0, y0, x1, y1 = bounds[0], bounds[1], bounds[2], bounds[3]
+    sy, ey = _bin_edges(y0, y1 - y0, out_size)
+    sx, ex = _bin_edges(x0, x1 - x0, out_size)
+    # Gather the four corner planes: (out, W+1, C) row gathers then column.
+    top = integral[sy]      # (O, W+1, C)
+    bot = integral[ey]      # (O, W+1, C)
+    # (O, O, C) via column gathers on each.
+    a = top[:, sx]          # I[sy, sx]
+    b = top[:, ex]          # I[sy, ex]
+    c = bot[:, sx]          # I[ey, sx]
+    d = bot[:, ex]          # I[ey, ex]
+    area = ((ey - sy)[:, None] * (ex - sx)[None, :]).astype(jnp.float32)
+    total = (d - b - c + a).astype(jnp.float32)
+    valid = area > 0
+    return jnp.where(valid[..., None], total / jnp.maximum(area, 1.0)[..., None], 0.0)
+
+
+def crop_resize_area(
+    integral: jnp.ndarray,
+    bounds: jnp.ndarray,
+    out_size: int,
+) -> jnp.ndarray:
+    """Batched exact area crop-resize.
+
+    integral: (B, H+1, W+1, C) int32 from :func:`integral_image`.
+    bounds:   (B, K, 4) int32 half-open pixel bounds (x0, y0, x1, y1).
+    Returns (B, K, out_size, out_size, C) float32 in [0, 255].
+    """
+    fn = jax.vmap(  # over boxes
+        lambda integ, bs: jax.vmap(lambda b: _crop_area_one(integ, b, out_size))(bs),
+        in_axes=(0, 0),
+    )
+    return fn(integral, bounds)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-crop bilinear resize (face crops, cv2.INTER_LINEAR semantics)
+# ---------------------------------------------------------------------------
+
+
+def _crop_bilinear_one(frame: jnp.ndarray, bounds: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Bilinear-resize one dynamic crop (cv2.resize INTER_LINEAR semantics).
+
+    frame: (H, W, C); bounds: (4,) int32 half-open (x0, y0, x1, y1).
+    Returns (out_size, out_size, C) float32; zeros for empty crops.
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    x0, y0, x1, y1 = bounds[0], bounds[1], bounds[2], bounds[3]
+    ch = (y1 - y0).astype(jnp.float32)
+    cw = (x1 - x0).astype(jnp.float32)
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    # Half-pixel mapping inside the crop, clamped to the crop (cv2 clamps
+    # sample coords to the source image; crop bounds are already in-image).
+    sy = jnp.clip((i + 0.5) * ch / out_size - 0.5, 0.0, jnp.maximum(ch - 1.0, 0.0))
+    sx = jnp.clip((i + 0.5) * cw / out_size - 0.5, 0.0, jnp.maximum(cw - 1.0, 0.0))
+    ay = y0.astype(jnp.float32) + sy
+    ax = x0.astype(jnp.float32) + sx
+    y_lo = jnp.floor(ay).astype(jnp.int32)
+    x_lo = jnp.floor(ax).astype(jnp.int32)
+    fy = (ay - y_lo)[:, None, None]
+    fx = (ax - x_lo)[None, :, None]
+    y_hi = jnp.clip(y_lo + 1, 0, h - 1)
+    x_hi = jnp.clip(x_lo + 1, 0, w - 1)
+    y_lo = jnp.clip(y_lo, 0, h - 1)
+    x_lo = jnp.clip(x_lo, 0, w - 1)
+
+    rows_lo = frame[y_lo].astype(jnp.float32)  # (O, W, C)
+    rows_hi = frame[y_hi].astype(jnp.float32)
+    tl = rows_lo[:, x_lo]
+    tr = rows_lo[:, x_hi]
+    bl = rows_hi[:, x_lo]
+    br = rows_hi[:, x_hi]
+    top = tl + (tr - tl) * fx
+    bot = bl + (br - bl) * fx
+    out = top + (bot - top) * fy
+    nonempty = jnp.logical_and(y1 > y0, x1 > x0)
+    return jnp.where(nonempty, out, 0.0)
+
+
+def crop_resize_bilinear(
+    frames: jnp.ndarray,
+    bounds: jnp.ndarray,
+    out_size: int,
+) -> jnp.ndarray:
+    """Batched bilinear crop-resize.
+
+    frames: (B, H, W, C); bounds: (B, K, 4) int32 half-open (x0, y0, x1, y1).
+    Returns (B, K, out_size, out_size, C) float32.
+    """
+    fn = jax.vmap(
+        lambda fr, bs: jax.vmap(lambda b: _crop_bilinear_one(fr, b, out_size))(bs),
+        in_axes=(0, 0),
+    )
+    return fn(frames, bounds)
