@@ -1,0 +1,118 @@
+"""End-to-end Detector tests (random weights; validates plumbing, batching,
+file IO, and that analyze_video == analyze_frames on identical content)."""
+
+import numpy as np
+import pytest
+import cv2
+import jax.numpy as jnp
+
+from truely_tpu.config import DetectorConfig, MTCNNConfig
+from truely_tpu.pipeline.detector import Detector
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = DetectorConfig(
+        frame_batch=8,
+        mtcnn=MTCNNConfig(
+            pnet_topk_per_scale=64, pnet_topk_total=64,
+            rnet_capacity=16, onet_capacity=8,
+            # random weights: permissive thresholds so faces "appear"
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+        compute_dtype="float32",
+    )
+    return Detector(cfg)
+
+
+def synth_video(path, n=25, w=96, h=64, fps=10):
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert writer.isOpened()
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n):
+        f = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # Blocky content so mp4v compresses deterministically enough.
+        f = cv2.blur(f, (9, 9))
+        frames.append(f)
+        writer.write(f)
+    writer.release()
+    return frames
+
+
+def test_analyze_video_roundtrip(tmp_path, detector):
+    path = str(tmp_path / "in.mp4")
+    out = str(tmp_path / "out.mp4")
+    synth_video(path)
+    result = detector.analyze_video(path, out)
+    assert 0 <= result.fake_score <= 100
+    assert result.frame_count == 25
+    # fps=10 -> interval max(1, 10//7)=1 -> every frame sampled
+    assert result.total_processed == 25
+    assert len(result.records) == 25
+    # Output video exists, decodable, same frame count.
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 25
+
+
+def test_analyze_video_equals_analyze_frames(tmp_path, detector):
+    path = str(tmp_path / "in.mp4")
+    synth_video(path)
+    # Decode what the codec actually stored, then compare both entry points.
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ret, f = cap.read()
+        if not ret:
+            break
+        frames.append(f)
+    cap.release()
+    frames = np.stack(frames)
+
+    r_video = detector.analyze_video(path)
+    r_frames = detector.analyze_frames(frames, fps=10)
+    assert r_video.fake_score == r_frames.fake_score
+    assert r_video.flagged_count == r_frames.flagged_count
+    assert r_video.final_counter == r_frames.final_counter
+    assert [r.frame_index for r in r_video.records] == [
+        r.frame_index for r in r_frames.records
+    ]
+    for a, b in zip(r_video.records, r_frames.records):
+        assert a.has_face == b.has_face
+        assert a.flagged == b.flagged
+        assert a.box == b.box
+
+
+def test_sampling_interval(detector):
+    cfg = detector.config
+    assert cfg.sample_interval(30) == 4   # reference: max(1, int(30/7))
+    assert cfg.sample_interval(7) == 1
+    assert cfg.sample_interval(6) == 1
+    assert cfg.sample_interval(60) == 8
+
+
+def test_run_missing_file(detector, tmp_path):
+    assert detector.run(str(tmp_path / "nope.mp4"), str(tmp_path / "o.mp4")) == 0
+
+
+def test_batch_padding_invariance(detector):
+    """Score must not depend on how the timeline splits into device batches."""
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(19, 64, 96, 3), dtype=np.uint8)
+    r1 = detector.analyze_frames(frames, fps=10)
+
+    cfg2 = DetectorConfig(
+        frame_batch=4,
+        mtcnn=detector.config.mtcnn,
+        compute_dtype="float32",
+    )
+    det2 = Detector(cfg2)
+    r2 = det2.analyze_frames(frames, fps=10)
+    assert r1.fake_score == r2.fake_score
+    assert r1.flagged_count == r2.flagged_count
+    assert [r.flagged for r in r1.records] == [r.flagged for r in r2.records]

@@ -127,6 +127,42 @@ def test_score_matches_oracle(dffc, final, total, frames, fps):
     assert got == expect
 
 
+@pytest.mark.parametrize("chunk", [1, 5, 16, 37])
+def test_chunked_equals_whole_timeline(chunk):
+    """Folding batches through TemporalState == one whole-timeline pass."""
+    rng = np.random.default_rng(11)
+    t_len, d = 97, 24
+    base = rng.normal(size=(d,))
+    embs = np.zeros((t_len, d), dtype=np.float32)
+    for t in range(t_len):
+        if rng.random() < 0.25:
+            base = rng.normal(size=(d,))
+        embs[t] = base + rng.normal(size=(d,)) * 1e-4
+    has_face = rng.random(t_len) > 0.25
+
+    whole = temporal_consistency(
+        jnp.asarray(embs), jnp.asarray(has_face), jnp.int32(t_len)
+    )
+
+    state = None
+    flags, counters, total_flagged = [], [], 0
+    for s in range(0, t_len, chunk):
+        e = min(s + chunk, t_len)
+        res = temporal_consistency(
+            jnp.asarray(embs[s:e]), jnp.asarray(has_face[s:e]), jnp.int32(e - s),
+            state=state,
+        )
+        state = res.state
+        flags.append(np.asarray(res.flagged))
+        counters.append(np.asarray(res.counter))
+        total_flagged += int(res.flagged_count)
+
+    np.testing.assert_array_equal(np.concatenate(flags), np.asarray(whole.flagged))
+    np.testing.assert_array_equal(np.concatenate(counters), np.asarray(whole.counter))
+    assert total_flagged == int(whole.flagged_count)
+    assert int(state.counter) == int(whole.final_counter)
+
+
 def test_run_length_counter_basic():
     update = jnp.asarray([1, 1, 1, 0, 1, 1, 1, 1], dtype=bool)
     below = jnp.asarray([1, 1, 0, 1, 1, 1, 0, 1], dtype=bool)

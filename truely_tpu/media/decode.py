@@ -1,0 +1,149 @@
+"""Host-side video decode into fixed-size sampled-frame batches.
+
+TPUs have no video ASIC, so decode stays on the host (reference used
+cv2.VideoCapture per frame inside the hot loop, server/model.py:23,42-45).
+Here decode runs on a background thread that stays ahead of device compute,
+yielding *segments*: the raw frames (needed for annotated re-encode) plus a
+padded (B, H, W, 3) uint8 stack of the ~7 Hz-sampled frames ready for one
+device step.  Frames come out BGR (cv2 convention) to preserve
+reference-compat channel order; ``rgb=True`` flips for corrected mode.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import cv2
+
+
+@dataclass(frozen=True)
+class VideoMeta:
+    width: int
+    height: int
+    fps: int           # int(cap.get(FPS)) — reference truncates (model.py:28)
+    fps_exact: float
+    frame_count: int   # container estimate; authoritative count comes from EOF
+
+
+@dataclass
+class Segment:
+    """A contiguous chunk of the video covering one device batch."""
+
+    frames: List[np.ndarray]        # raw frames, in order (BGR HWC uint8)
+    frame_indices: List[int]        # global indices of ``frames``
+    sampled: np.ndarray             # (B, H, W, 3) uint8, padded
+    sampled_indices: List[int]      # global indices of valid sampled rows
+    n_valid: int                    # number of valid rows in ``sampled``
+
+
+class VideoReader:
+    """Iterates decode segments with background prefetch."""
+
+    def __init__(self, path: str, *, rgb: bool = False, prefetch: int = 2):
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise IOError(f"could not open video: {path}")
+        self._rgb = rgb
+        self._prefetch = prefetch
+        self.meta = VideoMeta(
+            width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            fps=int(self._cap.get(cv2.CAP_PROP_FPS)),
+            fps_exact=float(self._cap.get(cv2.CAP_PROP_FPS)),
+            frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        )
+        if self.meta.width <= 0 or self.meta.height <= 0 or self.meta.fps <= 0:
+            self._cap.release()
+            raise IOError(
+                f"invalid video properties: width={self.meta.width} "
+                f"height={self.meta.height} fps={self.meta.fps}"
+            )
+
+    def close(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+
+    def _decode_all(self) -> Iterator[Tuple[int, np.ndarray]]:
+        idx = 0
+        while True:
+            ret, frame = self._cap.read()
+            if not ret:
+                break
+            if self._rgb:
+                frame = frame[..., ::-1]
+            yield idx, frame
+            idx += 1
+
+    def segments(
+        self, sample_interval: int, batch: int
+    ) -> Iterator[Segment]:
+        """Yield segments where each contains exactly ``batch`` sampled
+        frames (except the last, padded to ``batch``), decoding on a
+        background thread so host decode overlaps device compute."""
+        q: "queue.Queue[Optional[Segment]]" = queue.Queue(maxsize=self._prefetch)
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                h, w = self.meta.height, self.meta.width
+                cur_frames: List[np.ndarray] = []
+                cur_idx: List[int] = []
+                sampled: List[np.ndarray] = []
+                sampled_idx: List[int] = []
+
+                def flush():
+                    if not cur_frames:
+                        return
+                    n_valid = len(sampled)
+                    stack = np.zeros((batch, h, w, 3), np.uint8)
+                    if n_valid:
+                        stack[:n_valid] = np.stack(sampled)
+                    q.put(
+                        Segment(
+                            frames=list(cur_frames),
+                            frame_indices=list(cur_idx),
+                            sampled=stack,
+                            sampled_indices=list(sampled_idx),
+                            n_valid=n_valid,
+                        )
+                    )
+                    cur_frames.clear()
+                    cur_idx.clear()
+                    sampled.clear()
+                    sampled_idx.clear()
+
+                for idx, frame in self._decode_all():
+                    cur_frames.append(frame)
+                    cur_idx.append(idx)
+                    if idx % sample_interval == 0:
+                        sampled.append(frame)
+                        sampled_idx.append(idx)
+                        if len(sampled) == batch:
+                            flush()
+                flush()
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            seg = q.get()
+            if seg is None:
+                break
+            yield seg
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,40 @@
+"""Annotation overlay: red/green boxes + status text on flagged frames.
+
+Reproduces the drawing of reference server/model.py:66-74: a red box with
+"AI Detected - Frame N" (top-left, scale 1) once the run-length threshold
+trips, else a green box with "Real Frame" above the face.  Host-side numpy/
+cv2 — drawing happens only on sampled frames on the way to the encoder and
+is off the TPU hot path by design (SURVEY.md §2.2 N4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+
+RED = (0, 0, 255)
+GREEN = (0, 255, 0)
+
+
+def annotate_frame(
+    frame: np.ndarray,
+    box_xyxy,
+    *,
+    flagged: bool,
+    frame_index: int,
+) -> np.ndarray:
+    """Draw in place on a BGR frame and return it."""
+    x1, y1, x2, y2 = [int(v) for v in box_xyxy]
+    if flagged:
+        cv2.rectangle(frame, (x1, y1), (x2, y2), RED, 2)
+        cv2.putText(
+            frame, f"AI Detected - Frame {frame_index}", (10, 30),
+            cv2.FONT_HERSHEY_SIMPLEX, 1, RED, 2, cv2.LINE_AA,
+        )
+    else:
+        cv2.rectangle(frame, (x1, y1), (x2, y2), GREEN, 2)
+        cv2.putText(
+            frame, "Real Frame", (x1, y1 - 10),
+            cv2.FONT_HERSHEY_SIMPLEX, 0.5, GREEN, 2, cv2.LINE_AA,
+        )
+    return frame

@@ -3,6 +3,8 @@
 from truely_tpu.ops.temporal import (  # noqa: F401
     temporal_consistency,
     TemporalResult,
+    TemporalState,
+    init_temporal_state,
     weighted_score,
 )
 from truely_tpu.ops.resize import (  # noqa: F401

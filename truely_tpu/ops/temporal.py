@@ -31,6 +31,27 @@ import jax
 import jax.numpy as jnp
 
 
+class TemporalState(NamedTuple):
+    """Scan carry across frame batches / timeline shards.
+
+    Makes the temporal pass streamable: a video (or live stream) is processed
+    in fixed-size batches, each batch folding into this state, with results
+    identical to one whole-timeline pass (tested in test_temporal.py).
+    """
+
+    prev_embedding: jax.Array  # (D,) f32 — last face embedding seen
+    has_prev: jax.Array        # () bool — whether any face has been seen
+    counter: jax.Array         # () i32 — run-length counter
+
+
+def init_temporal_state(dim: int) -> TemporalState:
+    return TemporalState(
+        prev_embedding=jnp.zeros((dim,), jnp.float32),
+        has_prev=jnp.asarray(False),
+        counter=jnp.int32(0),
+    )
+
+
 class TemporalResult(NamedTuple):
     """Per-sampled-frame temporal outputs plus scalar summary.
 
@@ -45,6 +66,7 @@ class TemporalResult(NamedTuple):
     has_face: jax.Array        # (T,) bool
     flagged_count: jax.Array   # () i32 — reference deep_fake_frame_count
     final_counter: jax.Array   # () i32 — counter value at end of video
+    state: TemporalState       # carry for the next batch
 
 
 def _affine_compose(left, right):
@@ -54,12 +76,15 @@ def _affine_compose(left, right):
     return a2 * a1, a2 * b1 + b2
 
 
-def resettable_run_length(update: jax.Array, below: jax.Array) -> jax.Array:
+def resettable_run_length(
+    update: jax.Array, below: jax.Array, initial: jax.Array | int = 0
+) -> jax.Array:
     """Run-length counter with reset, as an associative scan.
 
     Args:
       update: (T,) bool — whether the frame updates the counter at all.
       below:  (T,) bool — similarity below threshold (only read where update).
+      initial: () i32 — counter value carried in from a previous batch.
 
     Returns:
       (T,) int32 counter value after each frame's update.
@@ -67,8 +92,8 @@ def resettable_run_length(update: jax.Array, below: jax.Array) -> jax.Array:
     below_i = below.astype(jnp.int32)
     a = jnp.where(update, below_i, 1)
     b = jnp.where(update, below_i, 0)
-    _, c = jax.lax.associative_scan(_affine_compose, (a, b))
-    return c  # c[t] = B[t] since c0 = 0
+    a_cum, b_cum = jax.lax.associative_scan(_affine_compose, (a, b))
+    return a_cum * jnp.int32(initial) + b_cum
 
 
 def previous_face_index(has_face: jax.Array) -> jax.Array:
@@ -87,37 +112,58 @@ def temporal_consistency(
     has_face: jax.Array,
     n_sampled: jax.Array,
     *,
+    state: TemporalState | None = None,
     similarity_threshold: float = 0.99,
     run_length_threshold: int = 15,
 ) -> TemporalResult:
-    """Whole-timeline temporal consistency in one fused, jittable pass.
+    """Temporal consistency over a (batch of the) timeline, jittable.
 
     Args:
       embeddings: (T, D) f32 face embeddings (garbage rows where no face).
       has_face:   (T,) bool.
       n_sampled:  () i32 — number of real (non-padding) sampled frames.
+      state:      carry from the previous batch (None = start of video).
 
     Padding frames must have ``has_face=False`` **or** be beyond
-    ``n_sampled``; either way they are forced inert here.
+    ``n_sampled``; either way they are forced inert here.  Folding a
+    timeline batch-by-batch through ``result.state`` is exactly equivalent
+    to one whole-timeline call.
     """
-    t_axis = embeddings.shape[0]
+    t_axis, dim = embeddings.shape
+    if state is None:
+        state = init_temporal_state(dim)
     idx = jnp.arange(t_axis, dtype=jnp.int32)
     valid = idx < n_sampled
     has_face = jnp.logical_and(has_face, valid)
 
-    prev_idx = previous_face_index(has_face)
+    emb = embeddings.astype(jnp.float32)
+    # Virtual slot 0 carries the previous batch's last face embedding, so
+    # prev-face indexing is uniform: ext index t+1 == batch index t.
+    emb_ext = jnp.concatenate([state.prev_embedding[None], emb], axis=0)
+    has_face_ext = jnp.concatenate([state.has_prev[None], has_face], axis=0)
+    prev_idx = previous_face_index(has_face_ext)[1:]  # (T,) into ext coords
     has_prev = jnp.logical_and(has_face, prev_idx >= 0)
 
-    emb = embeddings.astype(jnp.float32)
-    prev_emb = jnp.take(emb, jnp.maximum(prev_idx, 0), axis=0)
+    prev_emb = jnp.take(emb_ext, jnp.maximum(prev_idx, 0), axis=0)
     # Cosine similarity exactly as model.py:61 (dot / (||a|| * ||b||)).
     dot = jnp.sum(emb * prev_emb, axis=-1)
     norms = jnp.linalg.norm(emb, axis=-1) * jnp.linalg.norm(prev_emb, axis=-1)
     sim = jnp.where(has_prev, dot / jnp.maximum(norms, 1e-12), 0.0)
 
     below = sim < similarity_threshold
-    counter = resettable_run_length(has_prev, below)
+    counter = resettable_run_length(has_prev, below, state.counter)
     flagged = jnp.logical_and(has_prev, counter > run_length_threshold)
+
+    # Next-batch carry: last face embedding in this batch (or the old one).
+    last_face_ext = previous_face_index(
+        jnp.concatenate([has_face_ext, jnp.ones((1,), bool)], axis=0)
+    )[-1]
+    new_prev = emb_ext[jnp.maximum(last_face_ext, 0)]
+    new_state = TemporalState(
+        prev_embedding=new_prev,
+        has_prev=jnp.logical_or(state.has_prev, jnp.any(has_face)),
+        counter=counter[-1] if t_axis > 0 else state.counter,
+    )
 
     return TemporalResult(
         similarity=sim,
@@ -126,7 +172,8 @@ def temporal_consistency(
         annotated=has_prev,
         has_face=has_face,
         flagged_count=jnp.sum(flagged.astype(jnp.int32)),
-        final_counter=counter[-1] if t_axis > 0 else jnp.int32(0),
+        final_counter=new_state.counter,
+        state=new_state,
     )
 
 

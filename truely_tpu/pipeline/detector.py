@@ -1,0 +1,362 @@
+"""End-to-end video detector: decode → cascade → embed → scan → score.
+
+This replaces the whole of reference server/model.py ``run()`` (the per-frame
+CPU loop, SURVEY.md §3.2) with:
+
+- host decode into sampled-frame batches (media/decode.py, background thread)
+- ONE jit per resolution bucket covering MTCNN cascade + face crop +
+  Inception-ResNet-v1 embedding for a whole batch of frames
+- a second small jit folding each batch into the temporal scan state
+  (exactly the reference's resettable run-length counter + cosine test)
+- host-side annotation/encode of the output video as batches complete
+- the reference's score formula, bit-matched (ops/temporal.weighted_score)
+
+Everything device-side uses fixed shapes; the final partial batch is padded
+and masked.  Quirks preserved under ``reference_compat`` (BGR input, 80x80
+/255 crops, largest-face selection, trunc-clamp crop) per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from truely_tpu.config import DetectorConfig
+from truely_tpu.media.decode import VideoReader
+from truely_tpu.media.encode import VideoWriter
+from truely_tpu.media.overlay import annotate_frame
+from truely_tpu.models.inception_resnet_v1 import apply_inception_resnet_v1
+from truely_tpu.models.landmark68 import apply_landmark68
+from truely_tpu.models.weights import load_or_init
+from truely_tpu.models import (
+    init_pnet, init_rnet, init_onet, init_inception_resnet_v1, init_landmark68,
+)
+from truely_tpu.ops.resize import crop_resize_bilinear
+from truely_tpu.ops.temporal import (
+    TemporalState, init_temporal_state, temporal_consistency, weighted_score,
+)
+from truely_tpu.pipeline.mtcnn import MTCNNParams, detect_faces, select_primary_face
+
+
+class DetectorParams(NamedTuple):
+    mtcnn: MTCNNParams
+    facenet: dict
+    landmark: dict
+
+
+class FrameOutputs(NamedTuple):
+    """Per-frame device outputs for one batch."""
+
+    box: jax.Array        # (B, 4) f32 raw detector box
+    crop_bounds: jax.Array  # (B, 4) i32 clipped int crop actually used
+    has_face: jax.Array   # (B,) bool
+    embedding: jax.Array  # (B, 512) f32
+    landmarks68: jax.Array  # (B, 68, 2) f32 in crop-normalized coords
+
+
+@dataclass
+class FrameRecord:
+    frame_index: int
+    has_face: bool
+    box: Tuple[float, float, float, float]
+    annotated: bool
+    flagged: bool
+    similarity: float
+    counter: int
+
+
+@dataclass
+class VideoAnalysis:
+    """Result of one video analysis (superset of the reference's int score)."""
+
+    fake_score: int
+    frame_count: int
+    fps: int
+    total_processed: int      # sampled frames analyzed
+    flagged_count: int        # reference deep_fake_frame_count
+    final_counter: int
+    records: List[FrameRecord] = field(default_factory=list)
+    timings: Dict[str, float] = field(default_factory=dict)
+    output_path: Optional[str] = None
+
+    @property
+    def suspicious_frames(self) -> List[int]:
+        return [r.frame_index for r in self.records if r.flagged]
+
+
+def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
+                compute_dtype) -> FrameOutputs:
+    h, w = frames.shape[1], frames.shape[2]
+    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+    box, _score, has_face = select_primary_face(
+        det, largest=cfg.mtcnn.select_largest
+    )
+    # Reference crop semantics (model.py:49-56): trunc to int, clamp to the
+    # frame, require a non-degenerate region.
+    bi = box.astype(jnp.int32)
+    x0 = jnp.maximum(bi[:, 0], 0)
+    y0 = jnp.maximum(bi[:, 1], 0)
+    x1 = jnp.minimum(bi[:, 2], w)
+    y1 = jnp.minimum(bi[:, 3], h)
+    ok = jnp.logical_and(x1 > x0, y1 > y0)
+    has_face = jnp.logical_and(has_face, ok)
+    bounds = jnp.stack([x0, y0, x1, y1], axis=-1)
+    crops = crop_resize_bilinear(frames, bounds[:, None, :], cfg.crop_size)[:, 0]
+    crops = crops * (1.0 / 255.0)  # torchvision to_tensor scaling (model.py:58)
+    emb = apply_inception_resnet_v1(params.facenet, crops, dtype=compute_dtype)
+    lmk = apply_landmark68(params.landmark, crops, dtype=compute_dtype)
+    return FrameOutputs(
+        box=box, crop_bounds=bounds, has_face=has_face,
+        embedding=emb, landmarks68=lmk,
+    )
+
+
+def _temporal_step(emb, has_face, n_valid, state, cfg: DetectorConfig):
+    return temporal_consistency(
+        emb, has_face, n_valid, state=state,
+        similarity_threshold=cfg.similarity_threshold,
+        run_length_threshold=cfg.run_length_threshold,
+    )
+
+
+class Detector:
+    """The flagship model/pipeline object.
+
+    Holds converted (or seeded-fallback) weights on device and a per-shape
+    cache of compiled steps; resolution buckets compile once and are reused
+    across videos/streams.
+    """
+
+    def __init__(
+        self,
+        config: Optional[DetectorConfig] = None,
+        weights_dir: Optional[str] = None,
+    ):
+        self.config = config or DetectorConfig()
+        pnet, _ = load_or_init("pnet", init_pnet, weights_dir)
+        rnet, _ = load_or_init("rnet", init_rnet, weights_dir)
+        onet, _ = load_or_init("onet", init_onet, weights_dir)
+        facenet, self.facenet_pretrained = load_or_init(
+            "facenet", init_inception_resnet_v1, weights_dir
+        )
+        landmark, _ = load_or_init("landmark68", init_landmark68, weights_dir)
+        self.params = jax.device_put(
+            DetectorParams(
+                mtcnn=MTCNNParams(pnet=pnet, rnet=rnet, onet=onet),
+                facenet=facenet,
+                landmark=landmark,
+            )
+        )
+        self._compute_dtype = jnp.dtype(self.config.compute_dtype)
+        self._step = jax.jit(
+            partial(
+                _frame_step, cfg=self.config, compute_dtype=self._compute_dtype
+            )
+        )
+        self._temporal = jax.jit(partial(_temporal_step, cfg=self.config))
+        self._score = jax.jit(
+            partial(
+                weighted_score,
+                run_length_threshold=self.config.run_length_threshold,
+                long_video_seconds=self.config.long_video_seconds,
+            )
+        )
+
+    # ------------------------------------------------------------------
+
+    def warmup(self, height: int, width: int) -> None:
+        """Pre-compile the resolution bucket (first compile is slow)."""
+        b = self.config.frame_batch
+        frames = jnp.zeros((b, height, width, 3), jnp.uint8)
+        out = self._step(self.params, frames)
+        state = init_temporal_state(out.embedding.shape[-1])
+        res = self._temporal(out.embedding, out.has_face, jnp.int32(b), state)
+        jax.block_until_ready((out, res))
+
+    def step_device(self, frames: jax.Array) -> FrameOutputs:
+        """One compiled batch step on device-resident frames."""
+        return self._step(self.params, frames)
+
+    # ------------------------------------------------------------------
+
+    def analyze_video(
+        self,
+        input_path: str,
+        output_path: Optional[str] = None,
+    ) -> VideoAnalysis:
+        """Full analysis of a video file; mirrors reference ``run()``
+        (server/model.py:11-95) including the annotated output video."""
+        cfg = self.config
+        t_start = time.perf_counter()
+        timings = {"decode": 0.0, "device": 0.0, "temporal": 0.0, "encode": 0.0}
+
+        with VideoReader(input_path, rgb=not cfg.reference_compat) as reader:
+            meta = reader.meta
+            interval = cfg.sample_interval(meta.fps)
+            writer = (
+                VideoWriter(output_path, meta.fps, meta.width, meta.height)
+                if output_path
+                else None
+            )
+            state = init_temporal_state(512)
+            records: List[FrameRecord] = []
+            frame_count = 0
+            total_processed = 0
+            flagged_total = 0
+
+            try:
+                t0 = time.perf_counter()
+                for seg in reader.segments(interval, cfg.frame_batch):
+                    timings["decode"] += time.perf_counter() - t0
+
+                    t1 = time.perf_counter()
+                    out = self._step(self.params, jnp.asarray(seg.sampled))
+                    res = self._temporal(
+                        out.embedding, out.has_face, jnp.int32(seg.n_valid), state
+                    )
+                    state = res.state
+                    # Host sync for annotation.
+                    bounds = np.asarray(out.crop_bounds)
+                    has_face = np.asarray(res.has_face)
+                    annotated = np.asarray(res.annotated)
+                    flagged = np.asarray(res.flagged)
+                    sims = np.asarray(res.similarity)
+                    counters = np.asarray(res.counter)
+                    timings["device"] += time.perf_counter() - t1
+
+                    flagged_total += int(np.sum(flagged[: seg.n_valid]))
+                    total_processed += seg.n_valid
+                    frame_count += len(seg.frames)
+
+                    t2 = time.perf_counter()
+                    ann = {
+                        gi: k for k, gi in enumerate(seg.sampled_indices)
+                    }
+                    for gi, frame in zip(seg.frame_indices, seg.frames):
+                        k = ann.get(gi)
+                        if k is not None:
+                            records.append(
+                                FrameRecord(
+                                    frame_index=gi,
+                                    has_face=bool(has_face[k]),
+                                    box=tuple(float(v) for v in bounds[k]),
+                                    annotated=bool(annotated[k]),
+                                    flagged=bool(flagged[k]),
+                                    similarity=float(sims[k]),
+                                    counter=int(counters[k]),
+                                )
+                            )
+                            if writer and annotated[k]:
+                                annotate_frame(
+                                    frame, bounds[k],
+                                    flagged=bool(flagged[k]), frame_index=gi,
+                                )
+                        if writer:
+                            writer.write(frame)
+                    timings["encode"] += time.perf_counter() - t2
+                    t0 = time.perf_counter()
+            finally:
+                if writer:
+                    writer.close()
+
+        score = int(
+            self._score(
+                jnp.int32(flagged_total),
+                state.counter,
+                jnp.int32(total_processed),
+                jnp.int32(frame_count),
+                jnp.int32(meta.fps),
+            )
+        )
+        timings["total"] = time.perf_counter() - t_start
+        return VideoAnalysis(
+            fake_score=score,
+            frame_count=frame_count,
+            fps=meta.fps,
+            total_processed=total_processed,
+            flagged_count=flagged_total,
+            final_counter=int(state.counter),
+            records=records,
+            timings=timings,
+            output_path=output_path,
+        )
+
+    # ------------------------------------------------------------------
+
+    def analyze_frames(
+        self, frames: np.ndarray, fps: int
+    ) -> VideoAnalysis:
+        """Analyze an in-memory (N, H, W, 3) uint8 frame array (no file IO).
+        Frames are sampled/batched exactly like analyze_video."""
+        cfg = self.config
+        interval = cfg.sample_interval(fps)
+        n = frames.shape[0]
+        sampled_idx = list(range(0, n, interval))
+        state = init_temporal_state(512)
+        records: List[FrameRecord] = []
+        flagged_total = 0
+        b = cfg.frame_batch
+        for s in range(0, len(sampled_idx), b):
+            chunk = sampled_idx[s : s + b]
+            stack = np.zeros((b, *frames.shape[1:]), np.uint8)
+            stack[: len(chunk)] = frames[chunk]
+            out = self._step(self.params, jnp.asarray(stack))
+            res = self._temporal(
+                out.embedding, out.has_face, jnp.int32(len(chunk)), state
+            )
+            state = res.state
+            bounds = np.asarray(out.crop_bounds)
+            has_face = np.asarray(res.has_face)
+            annotated = np.asarray(res.annotated)
+            flagged = np.asarray(res.flagged)
+            sims = np.asarray(res.similarity)
+            counters = np.asarray(res.counter)
+            flagged_total += int(np.sum(flagged[: len(chunk)]))
+            for k, gi in enumerate(chunk):
+                records.append(
+                    FrameRecord(
+                        frame_index=gi,
+                        has_face=bool(has_face[k]),
+                        box=tuple(float(v) for v in bounds[k]),
+                        annotated=bool(annotated[k]),
+                        flagged=bool(flagged[k]),
+                        similarity=float(sims[k]),
+                        counter=int(counters[k]),
+                    )
+                )
+        score = int(
+            self._score(
+                jnp.int32(flagged_total),
+                state.counter,
+                jnp.int32(len(sampled_idx)),
+                jnp.int32(n),
+                jnp.int32(fps),
+            )
+        )
+        return VideoAnalysis(
+            fake_score=score,
+            frame_count=n,
+            fps=fps,
+            total_processed=len(sampled_idx),
+            flagged_count=flagged_total,
+            final_counter=int(state.counter),
+            records=records,
+        )
+
+    def run(self, video_path_one: str, video_path_two: str) -> int:
+        """Drop-in equivalent of reference server/model.py ``run()``:
+        returns the 0-100 fake score and writes the annotated video."""
+        import os
+
+        if not os.path.exists(video_path_one) or os.path.getsize(video_path_one) == 0:
+            return 0
+        try:
+            return self.analyze_video(video_path_one, video_path_two).fake_score
+        except IOError:
+            return 0
