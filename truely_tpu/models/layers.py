@@ -140,7 +140,9 @@ def max_pool(
         return max(0, (out - 1) * stride + window - size)
 
     pad_h, pad_w = pad_for(h), pad_for(w)
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # A python-scalar identity keeps this on the reduce_window_max primitive
+    # (the generic variadic reduce_window has no autodiff transpose).
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,92 @@
+"""Sharding the detector over a device mesh.
+
+Strategy (SURVEY.md §2.3, designed — the reference is single-frame CPU):
+
+- **DP over frames** ('data' axis): a frame batch is embarrassingly parallel
+  through decode-side sampling, the MTCNN cascade, and FaceNet embedding.
+  Inputs get a NamedSharding on the batch axis; everything jit-compiled from
+  there, XLA inserting collectives only where the program needs them.
+- **SP over the timeline**: the only cross-frame dependency is the
+  resettable run-length scan, which is associative (ops/temporal.py), so
+  ``jax.lax.associative_scan`` over a 'data'-sharded timeline compiles to a
+  log-depth tree with ICI collectives — per-video scoring stays exact.
+- **TP over the embedder** ('model' axis): the models are small (<30 M
+  params) so weights stay replicated by default; as a demonstration (and for
+  very large meshes) the 1792x512 embedding projection can be column-sharded
+  with ``tp_shard_facenet``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from truely_tpu.config import DetectorConfig
+from truely_tpu.ops.temporal import temporal_consistency
+from truely_tpu.pipeline.detector import DetectorParams, _frame_step
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def dp_spec(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def tp_shard_facenet(mesh: Mesh, params: DetectorParams, axis: str = "model") -> DetectorParams:
+    """Column-shard the FaceNet embedding projection over the model axis.
+
+    The matmul ``(B, 1792) @ (1792, 512)`` becomes column-parallel: each
+    shard computes a 512/T slice, and the following batchnorm/normalize run
+    on the gathered embedding (XLA inserts the all-gather).
+    """
+    facenet = dict(params.facenet)
+    ll = dict(facenet["last_linear"])
+    ll["w"] = jax.device_put(ll["w"], NamedSharding(mesh, P(None, axis)))
+    facenet["last_linear"] = ll
+    return params._replace(facenet=facenet)
+
+
+def shard_frame_step(
+    mesh: Mesh,
+    config: Optional[DetectorConfig] = None,
+    *,
+    data_axis: str = "data",
+):
+    """jit the per-batch detector step with the frame axis sharded over
+    ``data_axis``.  Returns fn(params, frames) with frames (B, H, W, 3) and
+    B divisible by the data-axis size."""
+    config = config or DetectorConfig()
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    fn = partial(_frame_step, cfg=config, compute_dtype=compute_dtype)
+    frames_sharding = NamedSharding(mesh, P(data_axis))
+    return jax.jit(fn, in_shardings=(None, frames_sharding))
+
+
+def sharded_temporal(
+    mesh: Mesh,
+    config: Optional[DetectorConfig] = None,
+    *,
+    data_axis: str = "data",
+):
+    """Whole-timeline temporal pass with the timeline sharded over the mesh
+    (sequence parallelism): the associative scan's carry crosses shard
+    boundaries via XLA collectives; results are exact."""
+    config = config or DetectorConfig()
+
+    def fn(embeddings, has_face, n_sampled):
+        return temporal_consistency(
+            embeddings, has_face, n_sampled,
+            similarity_threshold=config.similarity_threshold,
+            run_length_threshold=config.run_length_threshold,
+        )
+
+    seq_sharding = NamedSharding(mesh, P(data_axis))
+    return jax.jit(fn, in_shardings=(seq_sharding, seq_sharding, None))
