@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds, clip_boxes, iou_matrix
-from truely_tpu.ops.nms import nms_masked, topk_select
+from truely_tpu.ops.nms import nms_masked, nms_masked_batch, topk_select
 
 
 def oracle_nms(boxes, scores, threshold, method):
@@ -68,6 +68,40 @@ def test_nms_matches_oracle(seed, method, thr):
     )
     np.testing.assert_array_equal(got[:n_valid], expect)
     assert not got[n_valid:].any()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("method", ["union", "min"])
+def test_nms_batch_equals_vmapped_single(seed, method):
+    rng = np.random.default_rng(seed)
+    b, n = 4, 48
+    boxes = np.stack([random_boxes(rng, n) for _ in range(b)])
+    scores = rng.uniform(0.1, 1.0, (b, n)).astype(np.float32)
+    valid = rng.random((b, n)) > 0.4
+    got = np.asarray(
+        nms_masked_batch(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            iou_threshold=0.5, method=method,
+        )
+    )
+    for i in range(b):
+        single = np.asarray(
+            nms_masked(
+                jnp.asarray(boxes[i]), jnp.asarray(scores[i]), jnp.asarray(valid[i]),
+                iou_threshold=0.5, method=method,
+            )
+        )
+        np.testing.assert_array_equal(got[i], single)
+
+
+def test_nms_batch_all_invalid():
+    boxes = jnp.zeros((2, 8, 4))
+    keep = np.asarray(
+        nms_masked_batch(
+            boxes, jnp.zeros((2, 8)), jnp.zeros((2, 8), bool), iou_threshold=0.5
+        )
+    )
+    assert not keep.any()
 
 
 def test_nms_degenerate_identical_boxes():

@@ -1,0 +1,453 @@
+"""API-contract tests: replay the JSON shapes/status codes of reference
+server/server.py against our server, with a fake detector, fake agents, and
+a fake acquisition module (SURVEY.md §4 test plan)."""
+
+import json
+import os
+import subprocess
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from truely_tpu.config import ServerConfig
+from truely_tpu.media.acquire import (
+    AcquisitionError, CombinedDownload, get_platform_and_video_id,
+    parse_quality, select_best_format, get_available_formats,
+)
+from truely_tpu.serve.app import TruelyServer
+from truely_tpu.serve.http import Request, Response, make_server, serve_forever_in_thread
+from truely_tpu.serve.results import ResultStore
+
+
+class FakeDetector:
+    def __init__(self, score=42):
+        self.score = score
+        self.calls = []
+
+    def run(self, video_in, video_out):
+        self.calls.append((video_in, video_out))
+        with open(video_out, "wb") as f:
+            f.write(b"fake-video-bytes")
+        return self.score
+
+
+class FakeAgents:
+    def __init__(self, verdict="Fake", confidence=88, fail_query=False,
+                 no_results=False):
+        self.verdict = verdict
+        self.confidence = confidence
+        self.fail_query = fail_query
+        self.no_results = no_results
+
+    def transcribe_audio(self, path):
+        return "the moon landing was faked yesterday says source"
+
+    def generate_search_query(self, transcript, api_key):
+        if self.fail_query:
+            raise RuntimeError("gemini down")
+        return "moon landing faked claim"
+
+    def perform_search(self, query, api_key):
+        if self.no_results:
+            return []
+        return [
+            {"title": "Moon landing anniversary", "url": "https://bbc.com/a",
+             "snippet": "...", "score": 0.9},
+            {"title": "Fact check", "url": "https://cnn.com/b",
+             "snippet": "...", "score": 0.8},
+        ]
+
+    def judge_content(self, transcript, sources, api_key):
+        return {
+            "verdict": self.verdict,
+            "confidence": self.confidence,
+            "reasoning": "Sources contradict the claim.",
+            "sources": sources,
+        }
+
+
+class FakeAcquire:
+    """Stands in for media.acquire inside the server."""
+
+    AcquisitionError = AcquisitionError
+
+    def __init__(self, tmp_path):
+        self.tmp = tmp_path
+
+    def _make(self, name, data=b"x" * 100):
+        path = str(self.tmp / name)
+        with open(path, "wb") as f:
+            f.write(data)
+        return path
+
+    def download_video(self, url, quality, **kw):
+        return self._make("video.mp4")
+
+    def download_audio(self, url, fmt, **kw):
+        return self._make(f"audio.{fmt}")
+
+    def download_combined(self, url, fmt, quality, **kw):
+        return CombinedDownload(
+            video_path=self._make("combined.mp4"),
+            audio_path=self._make(f"combined.{fmt}"),
+        )
+
+
+@pytest.fixture
+def server(tmp_path):
+    return TruelyServer(
+        ServerConfig(),
+        detector=FakeDetector(),
+        agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path),
+        store=ResultStore(),
+        tavily_api_key="tvly-test",
+        gemini_api_key="gm-test",
+    )
+
+
+def call(server, method, path, query=None, body=None):
+    req = Request(
+        method=method, path=path, query=query or {},
+        body=json.dumps(body).encode() if body is not None else b"",
+    )
+    resp = server.router.dispatch(req)
+    payload = None
+    if resp.content_type.startswith("application/json"):
+        payload = json.loads(resp.content)
+    return resp, payload
+
+
+def make_video(tmp_path, name="in.mp4"):
+    path = str(tmp_path / name)
+    with open(path, "wb") as f:
+        f.write(b"mp4data")
+    return path
+
+
+# ---- analyze-video ---------------------------------------------------------
+
+
+def test_analyze_video_contract(server, tmp_path):
+    path = make_video(tmp_path)
+    resp, payload = call(server, "POST", "/analyze-video", body={"videoPath": path})
+    assert resp.status == 200
+    assert payload["fakeScore"] == 42
+    rid = payload["resultId"]
+    stored = server.store.get(rid)
+    assert stored["fake_score"] == 42
+    assert stored["output_path"].endswith("_output.mp4")
+    # input deleted in background
+    time.sleep(0.2)
+    assert not os.path.exists(path)
+
+
+@pytest.mark.parametrize("body,err", [
+    ({}, "Missing video path"),
+    ({"videoPath": "/nope/x.mp4"}, "Video file not found at specified path"),
+])
+def test_analyze_video_validation(server, body, err):
+    resp, payload = call(server, "POST", "/analyze-video", body=body)
+    assert resp.status == 400
+    assert payload["error"] == err
+
+
+def test_analyze_video_empty_file(server, tmp_path):
+    path = str(tmp_path / "empty.mp4")
+    open(path, "wb").close()
+    resp, payload = call(server, "POST", "/analyze-video", body={"videoPath": path})
+    assert resp.status == 400
+    assert payload["error"] == "Video file is empty"
+
+
+# ---- analyze-audio ---------------------------------------------------------
+
+
+def test_analyze_audio_contract(server, tmp_path):
+    path = make_video(tmp_path, "a.mp3")
+    resp, payload = call(server, "POST", "/analyze-audio", body={"audioPath": path})
+    assert resp.status == 200
+    assert payload["newsScore"] == 88            # confidence wins over verdict map
+    assert payload["verdict"] == "Fake"
+    assert payload["confidence"] == 88
+    assert len(payload["evidence"]) == 2
+    assert payload["evidence"][0] == {
+        "title": "Moon landing anniversary", "url": "https://bbc.com/a"
+    }
+    stored = server.store.get(payload["resultId"])
+    assert stored["verdict"] == "Fake"
+
+
+def test_analyze_audio_missing_keys_503(tmp_path):
+    server = TruelyServer(
+        detector=FakeDetector(), agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    path = make_video(tmp_path, "a.mp3")
+    resp, payload = call(server, "POST", "/analyze-audio", body={"audioPath": path})
+    assert resp.status == 503
+    assert payload["error"] == "Gemini API key not configured"
+
+
+def test_analyze_audio_no_results_uncertain(server, tmp_path):
+    server.agents = FakeAgents(no_results=True)
+    path = make_video(tmp_path, "a.mp3")
+    resp, payload = call(server, "POST", "/analyze-audio", body={"audioPath": path})
+    assert resp.status == 200
+    assert payload["verdict"] == "Uncertain"
+    assert payload["newsScore"] == 25
+
+
+def test_analyze_audio_query_fallback(server, tmp_path):
+    server.agents = FakeAgents(fail_query=True)
+    path = make_video(tmp_path, "a.mp3")
+    resp, payload = call(server, "POST", "/analyze-audio", body={"audioPath": path})
+    assert resp.status == 200  # fell back to first-30-words query
+
+
+# ---- analyze-combined ------------------------------------------------------
+
+
+def test_analyze_combined_contract(server, tmp_path):
+    video = make_video(tmp_path)
+    audio = make_video(tmp_path, "a.mp3")
+    resp, payload = call(
+        server, "POST", "/analyze-combined",
+        body={"videoPath": video, "audioPath": audio},
+    )
+    assert resp.status == 200
+    assert payload["fakeScore"] == 42
+    assert payload["newsScore"] == 88
+    assert payload["verdict"] == "Fake"
+    stored = server.store.get(payload["resultId"])
+    assert stored["fake_score"] == 42
+    assert stored["news_score"] == 88
+
+
+def test_analyze_combined_video_only(server, tmp_path):
+    video = make_video(tmp_path)
+    resp, payload = call(server, "POST", "/analyze-combined", body={"videoPath": video})
+    assert resp.status == 200
+    assert payload["newsSummary"] == "No audio content provided for analysis"
+    assert "verdict" not in payload
+
+
+def test_analyze_combined_missing_keys_warns_not_503(tmp_path):
+    server = TruelyServer(
+        detector=FakeDetector(), agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    video = make_video(tmp_path)
+    audio = make_video(tmp_path, "a.mp3")
+    resp, payload = call(
+        server, "POST", "/analyze-combined",
+        body={"videoPath": video, "audioPath": audio},
+    )
+    assert resp.status == 200
+    assert "Gemini API key not configured" in payload["newsSummary"]
+
+
+# ---- downloads -------------------------------------------------------------
+
+
+def test_download_video_contract(server):
+    resp, payload = call(server, "GET", "/download-video",
+                         query={"video_url": "https://youtube.com/watch?v=abc123"})
+    assert resp.status == 200
+    assert payload["videoPath"].endswith("video.mp4")
+
+
+def test_download_video_no_url(server):
+    resp, payload = call(server, "GET", "/download-video")
+    assert resp.status == 400
+    assert payload["error"] == "No video URL provided"
+
+
+def test_download_audio_contract(server):
+    resp, payload = call(server, "GET", "/download-audio",
+                         query={"video_url": "https://youtu.be/abc", "format": "mp3"})
+    assert resp.status == 200
+    assert "resultId" in payload
+    assert server.store.get(payload["resultId"])["audio_path"] == payload["audioPath"]
+
+
+def test_download_combined_contract(server):
+    resp, payload = call(server, "GET", "/download-combined",
+                         query={"video_url": "https://youtu.be/abc"})
+    assert resp.status == 200
+    assert set(payload) == {"videoPath", "videoId", "audioPath", "audioId"}
+    assert server.store.get(payload["videoId"])["output_path"] == payload["videoPath"]
+
+
+# ---- view / media serving --------------------------------------------------
+
+
+def test_view_and_video_roundtrip(server, tmp_path):
+    video = make_video(tmp_path)
+    audio = make_video(tmp_path, "a.mp3")
+    _, payload = call(
+        server, "POST", "/analyze-combined",
+        body={"videoPath": video, "audioPath": audio},
+    )
+    rid = payload["resultId"]
+    resp, _ = call(server, "GET", f"/view/{rid}")
+    assert resp.status == 200
+    html = resp.content.decode()
+    assert "42" in html and "Fake" in html and "https://bbc.com/a" in html
+    resp, _ = call(server, "GET", f"/video/{rid}")
+    assert resp.status == 200
+    assert resp.content == b"fake-video-bytes"
+    assert resp.content_type == "video/mp4"
+
+
+def test_view_missing_404(server):
+    resp, payload = call(server, "GET", "/view/deadbeef")
+    assert resp.status == 404
+
+
+def test_audio_media_types(server, tmp_path):
+    for ext, expected in [("m4a", "audio/mp4"), ("mp3", "audio/mp3")]:
+        path = make_video(tmp_path, f"x.{ext}")
+        rid = server.store.put({"audio_path": path})
+        resp, _ = call(server, "GET", f"/audio/{rid}")
+        assert resp.status == 200
+        assert resp.content_type == expected
+
+
+def test_static_and_health(server):
+    resp, _ = call(server, "GET", "/static/icon16.png")
+    assert resp.status == 200
+    assert resp.content_type == "image/png"
+    resp, payload = call(server, "GET", "/health")
+    assert payload["status"] == "ok"
+
+
+# ---- result store ----------------------------------------------------------
+
+
+def test_result_store_ttl_and_file_cleanup(tmp_path):
+    now = [1000.0]
+    store = ResultStore(ttl_seconds=10, clock=lambda: now[0])
+    media = make_video(tmp_path, "old.mp4")
+    rid = store.put({"output_path": media})
+    assert store.sweep() == 0
+    now[0] += 11
+    assert store.sweep() == 1
+    assert store.get(rid) is None
+    assert not os.path.exists(media)
+
+
+def test_result_store_concurrent_access():
+    store = ResultStore(ttl_seconds=0.001)
+    errors = []
+
+    def writer():
+        try:
+            for _ in range(300):
+                store.put({"x": 1})
+        except Exception as e:
+            errors.append(e)
+
+    def sweeper():
+        try:
+            for _ in range(300):
+                store.sweep()
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)] + [
+        threading.Thread(target=sweeper) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+
+# ---- real socket smoke test ------------------------------------------------
+
+
+def test_http_server_over_socket(server):
+    httpd = make_server(server.router, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    serve_forever_in_thread(httpd)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert r.status == 200
+            assert json.loads(r.read())["status"] == "ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze-video",
+            data=json.dumps({"videoPath": "/nope.mp4"}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert e.headers["Access-Control-Allow-Origin"] == "*"
+    finally:
+        httpd.shutdown()
+
+
+# ---- acquisition unit tests ------------------------------------------------
+
+
+def test_platform_regexes():
+    cases = [
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", ("youtube", "dQw4w9WgXcQ")),
+        ("https://youtu.be/abc_123", ("youtube", "abc_123")),
+        ("https://www.youtube.com/shorts/xyz", ("youtube", "xyz")),
+        ("https://x.com/user/status/12345", ("twitter", "12345")),
+        ("https://twitter.com/user/status/678", ("twitter", "678")),
+        ("https://www.facebook.com/watch/?v=555", ("facebook", "555")),
+        ("https://fb.watch/abcde/", ("facebook", "abcde")),
+        ("https://www.facebook.com/page/videos/999", ("facebook", "999")),
+        ("https://www.reddit.com/r/videos/comments/xyz9/title/", ("reddit", "xyz9")),
+        ("https://redd.it/abc12", ("reddit", "abc12")),
+        ("https://example.com/video/1", (None, None)),
+    ]
+    for url, expected in cases:
+        assert get_platform_and_video_id(url) == expected, url
+
+
+def test_parse_quality():
+    assert parse_quality("720p") == 720
+    assert parse_quality("1080P") == 1080
+    assert parse_quality("garbage") == 360
+    assert parse_quality(None) == 360
+    assert parse_quality("-5p") == 360
+
+
+def test_select_best_format():
+    formats = [
+        {"format_id": "a", "height": 1080, "vcodec": "h264"},
+        {"format_id": "b", "height": 360, "vcodec": "h264"},
+        {"format_id": "c", "height": 240, "vcodec": "h264"},
+        {"format_id": "d", "height": 720, "vcodec": "none"},   # audio-only-ish
+        {"format_id": "e", "vcodec": "h264"},                  # no height
+    ]
+    assert select_best_format(formats, 360) == "b"
+    assert select_best_format(formats, 100) == "c"   # all above target -> smallest
+    assert select_best_format([], 360) is None
+
+
+def test_get_available_formats_with_fake_runner():
+    def runner(cmd, timeout):
+        assert cmd[:2] == ["yt-dlp", "--dump-json"]
+        return subprocess.CompletedProcess(
+            cmd, 0, stdout=json.dumps({"formats": [{"format_id": "f1"}]}), stderr="")
+
+    assert get_available_formats("https://youtu.be/x", runner=runner) == [
+        {"format_id": "f1"}
+    ]
+    # probe failure degrades to empty list
+    def bad_runner(cmd, timeout):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    assert get_available_formats("https://youtu.be/x", runner=bad_runner) == []

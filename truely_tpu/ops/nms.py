@@ -60,6 +60,57 @@ def nms_masked(
     return keep
 
 
+def nms_masked_batch(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    iou_threshold: float,
+    method: str = "union",
+) -> jnp.ndarray:
+    """Batched exact greedy NMS over (B, K, 4) boxes with (B, K) masks.
+
+    Same semantics as vmapping :func:`nms_masked` (tested equivalent), but
+    one ``while_loop`` processes sorted candidate i across the whole batch
+    per step and exits early once every frame's valid candidates are
+    exhausted — in practice a handful of iterations instead of K, which
+    matters because this loop is the only sequential code in the cascade.
+    """
+    k = boxes.shape[1]
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores, axis=1, stable=True)
+    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    svalid = jnp.take_along_axis(valid, order, axis=1)
+    iou = jax.vmap(lambda b: iou_matrix(b, method=method))(sboxes)  # (B, K, K)
+    idx = jnp.arange(k)
+    # Candidates sort before invalid ones, so only the first ``n_needed``
+    # sorted slots can ever be kept.
+    n_needed = jnp.max(jnp.sum(svalid.astype(jnp.int32), axis=1))
+
+    def cond(state):
+        i, _, _ = state
+        return i < n_needed
+
+    def body(state):
+        i, alive, keep = state
+        kept_i = jnp.logical_and(alive[:, i], svalid[:, i])  # (B,)
+        keep = keep.at[:, i].set(kept_i)
+        suppress = jnp.logical_and(
+            kept_i[:, None],
+            jnp.logical_and(iou[:, i, :] > iou_threshold, idx[None, :] > i),
+        )
+        alive = jnp.logical_and(alive, jnp.logical_not(suppress))
+        return i + 1, alive, keep
+
+    b = boxes.shape[0]
+    alive0 = jnp.ones((b, k), dtype=bool)
+    keep0 = jnp.zeros((b, k), dtype=bool)
+    _, _, keep_sorted = jax.lax.while_loop(cond, body, (jnp.int32(0), alive0, keep0))
+
+    keep = jnp.zeros((b, k), dtype=bool)
+    return keep.at[jnp.arange(b)[:, None], order].set(keep_sorted)
+
+
 def topk_select(
     scores: jnp.ndarray,
     valid: jnp.ndarray,

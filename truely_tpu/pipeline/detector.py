@@ -125,6 +125,22 @@ def _temporal_step(emb, has_face, n_valid, state, cfg: DetectorConfig):
     )
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent compile cache: the unrolled 1080p cascade graph takes
+    minutes to compile cold (remote-compile TPU toolchain), seconds warm."""
+    import os
+
+    cache_dir = os.environ.get(
+        "TRUELY_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/truely_tpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
+
+
 class Detector:
     """The flagship model/pipeline object.
 
@@ -138,6 +154,7 @@ class Detector:
         config: Optional[DetectorConfig] = None,
         weights_dir: Optional[str] = None,
     ):
+        _enable_compilation_cache()
         self.config = config or DetectorConfig()
         pnet, _ = load_or_init("pnet", init_pnet, weights_dir)
         rnet, _ = load_or_init("rnet", init_rnet, weights_dir)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from truely_tpu.config import MTCNNConfig
 from truely_tpu.models.mtcnn_nets import apply_pnet, apply_rnet, apply_onet
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
-from truely_tpu.ops.nms import nms_masked, NEG_INF
+from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
 from truely_tpu.ops.resize import resize_area, integral_image, crop_resize_area
 from truely_tpu.pipeline.pyramid import pyramid_schedule
 
@@ -52,9 +52,9 @@ def _normalize(x: jax.Array) -> jax.Array:
 
 
 def _batched_nms(boxes, scores, valid, iou_threshold, method="union"):
-    return jax.vmap(
-        lambda b, s, v: nms_masked(b, s, v, iou_threshold=iou_threshold, method=method)
-    )(boxes, scores, valid)
+    return nms_masked_batch(
+        boxes, scores, valid, iou_threshold=iou_threshold, method=method
+    )
 
 
 def _topk_gather(scores, valid, k_out, *arrays):
@@ -79,7 +79,13 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     levels = pyramid_schedule(h, w, cfg.min_face_size, cfg.scale_factor)
     all_boxes, all_scores, all_regs, all_valid = [], [], [], []
     for lvl in levels:
-        scaled = resize_area(frames, (lvl.height, lvl.width))
+        # Pyramid resample precision follows the net precision: uint8 pixels
+        # are exact in bf16, so default (bf16) costs <=0.4% from weight
+        # rounding; parity tests pass HIGHEST explicitly.
+        scaled = resize_area(
+            frames, (lvl.height, lvl.width),
+            precision=precision if precision is not None else jax.lax.Precision.DEFAULT,
+        )
         prob, reg = apply_pnet(
             params.pnet, _normalize(scaled), dtype=dtype, precision=precision
         )

@@ -1,0 +1,505 @@
+"""The Truely API application: all nine public endpoints of the reference
+server (server/server.py) with matching routes, JSON contracts, and status
+codes, wired to the TPU detector and the fact-check agents.
+
+Differences from the reference, by design (SURVEY.md §5):
+- analysis runs behind a device lock on worker threads instead of blocking
+  an asyncio loop;
+- the result store is lock-protected (the reference races its cleanup
+  thread against handlers);
+- the detector/agents/acquisition are injectable for tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jinja2
+
+from truely_tpu.config import ServerConfig
+from truely_tpu.media import acquire
+from truely_tpu.serve.http import Request, Response, Router, make_server
+from truely_tpu.serve.results import ResultStore
+
+logger = logging.getLogger(__name__)
+
+VERDICT_SCORES = {"Authentic": 100, "Misleading": 50, "Fake": 0, "Uncertain": 25}
+
+_TEMPLATES_DIR = os.path.join(os.path.dirname(__file__), "templates")
+_STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+
+class DefaultAgents:
+    """Thin indirection over the agent clients so tests can substitute."""
+
+    def transcribe_audio(self, path: str) -> str:
+        from truely_tpu.agents.transcribe import transcribe_audio
+
+        return transcribe_audio(path)
+
+    def generate_search_query(self, transcript: str, api_key: str) -> str:
+        from truely_tpu.agents.judge import generate_search_query
+
+        return generate_search_query(transcript, api_key)
+
+    def perform_search(self, query: str, api_key: str) -> List[Dict[str, Any]]:
+        from truely_tpu.agents.search import perform_search
+
+        return perform_search(query, api_key)
+
+    def judge_content(self, transcript, sources, api_key) -> Dict[str, Any]:
+        from truely_tpu.agents.judge import judge_content
+
+        return judge_content(transcript, sources, api_key)
+
+
+class TruelyServer:
+    def __init__(
+        self,
+        config: Optional[ServerConfig] = None,
+        *,
+        detector=None,
+        detector_factory: Optional[Callable[[], Any]] = None,
+        agents=None,
+        store: Optional[ResultStore] = None,
+        acquire_module=acquire,
+        tavily_api_key: Optional[str] = None,
+        gemini_api_key: Optional[str] = None,
+    ):
+        self.config = config or ServerConfig()
+        self._detector = detector
+        self._detector_factory = detector_factory
+        self._detector_lock = threading.Lock()
+        self.agents = agents or DefaultAgents()
+        self.store = store or ResultStore(
+            ttl_seconds=self.config.result_ttl_seconds,
+            sweep_period_seconds=self.config.cleanup_period_seconds,
+        )
+        self.acquire = acquire_module
+        self.tavily_api_key = (
+            tavily_api_key
+            if tavily_api_key is not None
+            else os.environ.get("TAVILY_API_KEY", "")
+        )
+        self.gemini_api_key = (
+            gemini_api_key
+            if gemini_api_key is not None
+            else os.environ.get("GEMINI_API_KEY", "")
+        )
+        self._jinja = jinja2.Environment(
+            loader=jinja2.FileSystemLoader(_TEMPLATES_DIR), autoescape=True
+        )
+        self.router = self._build_router()
+
+    # ------------------------------------------------------------------
+
+    @property
+    def detector(self):
+        if self._detector is None:
+            with self._detector_lock:
+                if self._detector is None:
+                    if self._detector_factory is not None:
+                        self._detector = self._detector_factory()
+                    else:
+                        from truely_tpu.pipeline.detector import Detector
+
+                        self._detector = Detector()
+        return self._detector
+
+    def _run_analysis(self, video_path: str, output_path: str) -> int:
+        """Serialized access to the device for the visual pipeline."""
+        detector = self.detector
+        with self._detector_lock:
+            return detector.run(video_path, output_path)
+
+    # ------------------------------------------------------------------
+
+    def _build_router(self) -> Router:
+        r = Router()
+        r.add("GET", "/view/{result_id}", self.view_result)
+        r.add("GET", "/video/{result_id}", self.get_video)
+        r.add("GET", "/audio/{result_id}", self.get_audio)
+        r.add("GET", "/download-video", self.download_video)
+        r.add("GET", "/download-audio", self.download_audio)
+        r.add("GET", "/download-combined", self.download_combined)
+        r.add("POST", "/analyze-video", self.analyze_video)
+        r.add("POST", "/analyze-audio", self.analyze_audio)
+        r.add("POST", "/analyze-combined", self.analyze_combined)
+        r.add("GET", "/static/{filename}", self.static_file)
+        r.add("GET", "/health", self.health)
+        return r
+
+    # ---- report / media ------------------------------------------------
+
+    def view_result(self, req: Request) -> Response:
+        result_id = req.path_params["result_id"]
+        result = self.store.get(result_id)
+        if result is None:
+            return Response.error("Result not found or has expired", 404)
+        verdict = result.get("verdict", "Uncertain")
+        if isinstance(verdict, str):
+            verdict = verdict.capitalize()
+        data = {
+            "fake_score": result.get("fake_score", "N/A"),
+            "video_url": f"/video/{result_id}",
+            "verdict": verdict,
+            "news_score": result.get("news_score", "N/A"),
+            "news_summary": result.get("news_summary", "No summary available"),
+        }
+        evidence = result.get("news_evidence") or []
+        if evidence:
+            data["news_evidence"] = [
+                {"title": e.get("title", "Untitled"), "url": e.get("url", "#")}
+                for e in evidence
+            ]
+        html = self._jinja.get_template("view_result.html").render(**data)
+        return Response.html(html)
+
+    def get_video(self, req: Request) -> Response:
+        result = self.store.get(req.path_params["result_id"])
+        if result is None:
+            return Response.error("Video not found or has expired", 404)
+        path = result.get("output_path")
+        if not path or not os.path.exists(path):
+            return Response.error("Video file not found", 404)
+        return Response.file(path, "video/mp4")
+
+    def get_audio(self, req: Request) -> Response:
+        result = self.store.get(req.path_params["result_id"])
+        if result is None:
+            return Response.error("Audio not found or has expired", 404)
+        path = result.get("audio_path")
+        if not path or not os.path.exists(path):
+            return Response.error("Audio file not found", 404)
+        ext = path.rsplit(".", 1)[-1].lower()
+        media_type = "audio/mp4" if ext == "m4a" else f"audio/{ext}"
+        return Response.file(path, media_type)
+
+    def static_file(self, req: Request) -> Response:
+        name = os.path.basename(req.path_params["filename"])
+        path = os.path.join(_STATIC_DIR, name)
+        if not os.path.exists(path):
+            return Response.error("Not Found", 404)
+        return Response.file(path)
+
+    def health(self, req: Request) -> Response:
+        return Response.json({"status": "ok", "results": len(self.store)})
+
+    # ---- acquisition ----------------------------------------------------
+
+    def download_video(self, req: Request) -> Response:
+        video_url = req.query.get("video_url")
+        quality = req.query.get("quality", self.config.default_quality)
+        if not video_url:
+            return Response.json({"error": "No video URL provided"}, 400)
+        try:
+            path = self.acquire.download_video(
+                video_url, quality, timeout=self.config.video_download_timeout
+            )
+        except acquire.AcquisitionError as e:
+            return Response.json({"error": str(e)}, e.status)
+        return Response.json({"videoPath": path})
+
+    def download_audio(self, req: Request) -> Response:
+        video_url = req.query.get("video_url")
+        audio_format = req.query.get("format", "mp3")
+        if not video_url:
+            return Response.json({"error": "No video URL provided"}, 400)
+        try:
+            path = self.acquire.download_audio(
+                video_url, audio_format, timeout=self.config.audio_download_timeout
+            )
+        except acquire.AcquisitionError as e:
+            return Response.json({"error": str(e)}, e.status)
+        result_id = self.store.put({"audio_path": path})
+        return Response.json({"audioPath": path, "resultId": result_id})
+
+    def download_combined(self, req: Request) -> Response:
+        video_url = req.query.get("video_url")
+        audio_format = req.query.get("audio_format", "mp3")
+        quality = req.query.get("quality", self.config.default_quality)
+        if not video_url:
+            return Response.json({"error": "No video URL provided"}, 400)
+        try:
+            dl = self.acquire.download_combined(
+                video_url, audio_format, quality,
+                video_timeout=self.config.video_download_timeout,
+                audio_timeout=self.config.audio_download_timeout,
+            )
+        except acquire.AcquisitionError as e:
+            return Response.json({"error": str(e)}, e.status)
+        video_id = self.store.put({"output_path": dl.video_path})
+        audio_id = (
+            self.store.put({"audio_path": dl.audio_path}) if dl.audio_path else None
+        )
+        return Response.json(
+            {
+                "videoPath": dl.video_path,
+                "videoId": video_id,
+                "audioPath": dl.audio_path,
+                "audioId": audio_id,
+            }
+        )
+
+    # ---- analysis -------------------------------------------------------
+
+    @staticmethod
+    def _validate_media_path(path: Optional[str], kind: str) -> Optional[Response]:
+        if not path:
+            return Response.json({"error": f"Missing {kind} path"}, 400)
+        if not os.path.exists(path):
+            return Response.json(
+                {"error": f"{kind.capitalize()} file not found at specified path"}, 400
+            )
+        if not os.path.isfile(path):
+            return Response.json({"error": "Provided path is not a file"}, 400)
+        if os.path.getsize(path) == 0:
+            return Response.json({"error": f"{kind.capitalize()} file is empty"}, 400)
+        return None
+
+    def _delete_input_later(self, path: str) -> None:
+        def task():
+            try:
+                if os.path.exists(path):
+                    os.unlink(path)
+                    logger.info("deleted input video: %s", path)
+            except Exception as e:
+                logger.error("failed to delete input video %s: %s", path, e)
+
+        threading.Thread(target=task, daemon=True).start()
+
+    def analyze_video(self, req: Request) -> Response:
+        try:
+            data = req.json() or {}
+        except ValueError:
+            return Response.json({"error": "Invalid JSON body"}, 400)
+        video_path = data.get("videoPath")
+        invalid = self._validate_media_path(video_path, "video")
+        if invalid:
+            return invalid
+        output_path = video_path.replace(".mp4", "_output.mp4")
+        try:
+            fake_score = self._run_analysis(video_path, output_path)
+        except Exception as e:
+            return Response.json({"error": f"Failed to analyze video: {e}"}, 500)
+        if not os.path.exists(output_path) or os.path.getsize(output_path) == 0:
+            return Response.json(
+                {"error": "Video analysis failed: No output video generated"}, 500
+            )
+        result_id = self.store.put(
+            {"output_path": output_path, "fake_score": fake_score}
+        )
+        self._delete_input_later(video_path)
+        return Response.json({"fakeScore": fake_score, "resultId": result_id})
+
+    def _news_analysis(self, audio_path: str, *, strict_keys: bool):
+        """Shared fact-check flow.  ``strict_keys`` reproduces the contract
+        split between /analyze-audio (503 on missing keys,
+        server/server.py:698-707) and /analyze-combined (warning only,
+        :880-885)."""
+        news_score: Any = 0
+        news_summary = "Could not analyze audio content"
+        news_evidence: List[Dict[str, Any]] = []
+        news_result: Dict[str, Any] = {}
+        try:
+            transcription = self.agents.transcribe_audio(audio_path)
+            if not transcription:
+                return None, news_score, "Could not transcribe audio content", news_evidence, news_result
+            if strict_keys:
+                if not self.gemini_api_key:
+                    return (
+                        Response.json({"error": "Gemini API key not configured"}, 503),
+                        None, None, None, None,
+                    )
+                if not self.tavily_api_key:
+                    return (
+                        Response.json({"error": "Tavily API key not configured"}, 503),
+                        None, None, None, None,
+                    )
+            else:
+                if not self.gemini_api_key:
+                    return None, news_score, (
+                        "News analysis unavailable: Gemini API key not configured"
+                    ), news_evidence, news_result
+                if not self.tavily_api_key:
+                    return None, news_score, (
+                        "News analysis unavailable: Tavily API key not configured"
+                    ), news_evidence, news_result
+            try:
+                query = self.agents.generate_search_query(
+                    transcription, self.gemini_api_key
+                )
+            except Exception as e:
+                logger.warning("search-query generation failed: %s", e)
+                query = ""
+            if not query:
+                query = " ".join(transcription.split()[:30])[:350]
+                logger.warning("using fallback search query: %s", query)
+            results = self.agents.perform_search(query, self.tavily_api_key)
+            if not results:
+                news_result = {
+                    "verdict": "Uncertain",
+                    "confidence": 25,
+                    "reasoning": "Could not find relevant information to verify content",
+                    "sources": [],
+                }
+            else:
+                try:
+                    news_result = self.agents.judge_content(
+                        transcription, results, self.gemini_api_key
+                    )
+                except Exception as e:
+                    logger.error("credibility analysis failed: %s", e)
+                    news_result = {
+                        "verdict": "Uncertain",
+                        "confidence": 0,
+                        "reasoning": f"Analysis error: {str(e)[:100]}",
+                        "sources": [],
+                    }
+            if "verdict" in news_result:
+                verdict = news_result.get("verdict", "Uncertain")
+                news_score = news_result.get(
+                    "confidence", VERDICT_SCORES.get(verdict, 0)
+                )
+                news_summary = news_result.get("reasoning", "No reasoning provided")
+                news_evidence = news_result.get("sources", [])
+            else:
+                news_score = news_result.get("score", 0)
+                news_summary = news_result.get("summary", "No summary provided")
+                news_evidence = news_result.get("evidence", [])
+        except Exception as e:
+            logger.error("audio processing failed: %s", e)
+            news_summary = f"Audio analysis error: {e}"
+        return None, news_score, news_summary, news_evidence, news_result
+
+    def analyze_audio(self, req: Request) -> Response:
+        try:
+            data = req.json() or {}
+        except ValueError:
+            return Response.json({"error": "Invalid JSON body"}, 400)
+        audio_path = data.get("audioPath")
+        invalid = self._validate_media_path(audio_path, "audio")
+        if invalid:
+            return invalid
+        early, news_score, news_summary, news_evidence, news_result = (
+            self._news_analysis(audio_path, strict_keys=True)
+        )
+        if early is not None:
+            return early
+        result_id = self.store.put(
+            {
+                "audio_path": audio_path,
+                "news_score": news_score,
+                "news_summary": news_summary,
+                "news_evidence": news_evidence,
+                "verdict": news_result.get("verdict", "Uncertain"),
+            }
+        )
+        response = {
+            "newsScore": news_score,
+            "newsSummary": news_summary,
+            "resultId": result_id,
+        }
+        if news_result and "verdict" in news_result:
+            response["verdict"] = news_result.get("verdict", "Uncertain")
+            response["confidence"] = news_result.get("confidence", 0)
+        if news_evidence:
+            response["evidence"] = [
+                {"title": s.get("title", ""), "url": s.get("url", "")}
+                for s in news_evidence[:3]
+            ]
+        return Response.json(response)
+
+    def analyze_combined(self, req: Request) -> Response:
+        try:
+            data = req.json() or {}
+        except ValueError:
+            return Response.json({"error": "Invalid JSON body"}, 400)
+        video_path = data.get("videoPath")
+        audio_path = data.get("audioPath")
+        invalid = self._validate_media_path(video_path, "video")
+        if invalid:
+            return invalid
+        if audio_path:
+            invalid = self._validate_media_path(audio_path, "audio")
+            if invalid:
+                return invalid
+        output_path = video_path.replace(".mp4", "_output.mp4")
+        try:
+            fake_score = self._run_analysis(video_path, output_path)
+        except Exception as e:
+            return Response.json({"error": f"Video analysis failed: {e}"}, 500)
+        if not os.path.exists(output_path) or os.path.getsize(output_path) == 0:
+            return Response.json(
+                {"error": "Video analysis failed: No output video generated"}, 500
+            )
+        news_score: Any = 0
+        news_summary = "Could not analyze audio content"
+        news_evidence: List[Dict[str, Any]] = []
+        news_result: Dict[str, Any] = {}
+        if audio_path:
+            _, news_score, news_summary, news_evidence, news_result = (
+                self._news_analysis(audio_path, strict_keys=False)
+            )
+        else:
+            news_summary = "No audio content provided for analysis"
+        result_id = self.store.put(
+            {
+                "output_path": output_path,
+                "audio_path": audio_path
+                if audio_path and os.path.exists(audio_path)
+                else None,
+                "fake_score": fake_score,
+                "news_score": news_score,
+                "news_summary": news_summary,
+                "news_evidence": news_evidence,
+                "verdict": news_result.get("verdict", "Uncertain"),
+            }
+        )
+        self._delete_input_later(video_path)
+        response = {
+            "fakeScore": fake_score,
+            "newsScore": news_score,
+            "newsSummary": news_summary,
+            "resultId": result_id,
+        }
+        if news_result and "verdict" in news_result:
+            response["verdict"] = news_result.get("verdict", "Uncertain")
+            response["confidence"] = news_result.get("confidence", 0)
+        if news_evidence:
+            response["evidence"] = [
+                {"title": s.get("title", ""), "url": s.get("url", "")}
+                for s in news_evidence[:3]
+            ]
+        return Response.json(response)
+
+    # ------------------------------------------------------------------
+
+    def serve(self):
+        self.store.start_cleanup()
+        server = make_server(self.router, self.config.host, self.config.port)
+        logger.info("truely_tpu server on %s:%d", self.config.host, self.config.port)
+        try:
+            server.serve_forever()
+        finally:
+            self.store.stop_cleanup()
+
+
+def create_app(**kwargs) -> TruelyServer:
+    return TruelyServer(**kwargs)
+
+
+def main():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    create_app().serve()
+
+
+if __name__ == "__main__":
+    main()
