@@ -1,0 +1,150 @@
+// Popup driver: session gate -> platform detection -> download + analyze ->
+// result rendering.  Progress reflects the real pipeline phases (download,
+// analysis, fact-check) instead of the reference's hardcoded setTimeout
+// percentages (SURVEY.md §2.1 #12).
+
+const $ = (id) => document.getElementById(id);
+
+const PLATFORM_LABELS = {
+  youtube: "YouTube",
+  twitter: "X / Twitter",
+  facebook: "Facebook",
+  reddit: "Reddit",
+};
+
+function send(message) {
+  return new Promise((resolve) => chrome.runtime.sendMessage(message, resolve));
+}
+
+function detectPlatform(url) {
+  if (!url) return null;
+  if (/youtube\.com|youtu\.be/.test(url)) return "youtube";
+  if (/twitter\.com|x\.com/.test(url)) return "twitter";
+  if (/facebook\.com|fb\.watch/.test(url)) return "facebook";
+  if (/reddit\.com|redd\.it/.test(url)) return "reddit";
+  return null;
+}
+
+function setProgress(pct, label) {
+  $("progress").classList.remove("hidden");
+  $("progress-fill").style.width = `${pct}%`;
+  $("progress-label").textContent = label;
+}
+
+function showError(message) {
+  $("progress").classList.add("hidden");
+  const el = $("error");
+  el.textContent = message;
+  el.classList.remove("hidden");
+}
+
+function serverUrl(env) {
+  return (env && env.SERVER_URL) || "http://localhost:5001";
+}
+
+function displayResults(result, env) {
+  $("progress").classList.add("hidden");
+  $("results").classList.remove("hidden");
+  const score = result.fakeScore ?? 0;
+  const isFake = score > 50;
+  $("score-num").textContent = score;
+  $("score-ring").classList.toggle("fake", isFake);
+  $("score-verdict").textContent = isFake
+    ? "Likely AI-generated"
+    : "Likely authentic";
+  $("score-verdict").style.color = isFake ? "#ff8589" : "#5fd99a";
+  $("score-detail").textContent = isFake
+    ? "Sustained face-embedding drift detected across frames."
+    : "Face embeddings stayed consistent across frames.";
+
+  if (result.verdict !== undefined || result.newsScore !== undefined) {
+    $("news-block").classList.remove("hidden");
+    $("news-verdict").textContent = result.verdict || "Uncertain";
+    $("news-score").textContent =
+      result.newsScore !== undefined ? `credibility ${result.newsScore}` : "";
+    $("news-summary").textContent = result.newsSummary || "";
+    const evidence = $("evidence");
+    evidence.textContent = "";
+    (result.evidence || []).forEach((src) => {
+      const a = document.createElement("a");
+      a.href = src.url;
+      a.target = "_blank";
+      a.rel = "noopener";
+      a.textContent = src.title || src.url;
+      evidence.appendChild(a);
+    });
+  }
+  if (result.resultId) {
+    $("report-link").href = `${serverUrl(env)}/view/${result.resultId}`;
+  }
+}
+
+async function startAnalysis(videoUrl, env) {
+  $("error").classList.add("hidden");
+  $("results").classList.add("hidden");
+  $("analyze-btn").disabled = true;
+  try {
+    setProgress(10, "Downloading video + audio…");
+    const dl = await send({ action: "downloadCombined", videoUrl });
+    if (!dl || !dl.success) throw new Error((dl && dl.error) || "Download failed");
+
+    setProgress(45, "Analyzing frames on the detection server…");
+    const analysis = await send({
+      action: "analyzeCombined",
+      videoPath: dl.videoPath,
+      audioPath: dl.audioPath,
+    });
+    if (!analysis || !analysis.success) {
+      throw new Error((analysis && analysis.error) || "Analysis failed");
+    }
+    setProgress(100, "Done");
+    displayResults(analysis, env);
+  } catch (err) {
+    showError(err.message);
+  } finally {
+    $("analyze-btn").disabled = false;
+  }
+}
+
+async function init() {
+  const auth = await send({ action: "checkAuth" });
+  if (!auth || !auth.isAuthenticated) {
+    window.location.href = "auth.html";
+    return;
+  }
+  const env = await send({ action: "getEnvVars" });
+
+  $("logout-btn").addEventListener("click", async () => {
+    await send({ action: "logout" });
+    window.location.href = "auth.html";
+  });
+
+  const [tab] = await chrome.tabs.query({ active: true, currentWindow: true });
+  const platform = detectPlatform(tab && tab.url);
+  if (!platform) {
+    $("platform-name").textContent =
+      "Open a YouTube, X, Facebook, or Reddit video to analyze it.";
+    return;
+  }
+  $("platform-name").textContent = `${PLATFORM_LABELS[platform]} page detected`;
+
+  let onVideo = true;
+  try {
+    const probe = await chrome.tabs.sendMessage(tab.id, {
+      action: "checkVideoPage",
+    });
+    onVideo = !probe || probe.isVideoPage !== false;
+  } catch (e) {
+    // content script unavailable (e.g. just installed); assume URL is enough
+  }
+  if (!onVideo) {
+    $("platform-name").textContent =
+      `${PLATFORM_LABELS[platform]} — no video detected on this page.`;
+    return;
+  }
+  const btn = $("analyze-btn");
+  btn.disabled = false;
+  btn.addEventListener("click", () => startAnalysis(tab.url, env));
+}
+
+init();

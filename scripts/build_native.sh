@@ -1,0 +1,8 @@
+#!/bin/sh
+# Build the native framepack extension and install it into truely_tpu/media/.
+set -e
+cd "$(dirname "$0")/../native"
+python setup.py build_ext --inplace >/dev/null
+mv -f framepack*.so ../truely_tpu/media/
+rm -rf build
+echo "built: $(ls ../truely_tpu/media/framepack*.so)"

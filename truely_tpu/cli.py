@@ -1,0 +1,85 @@
+"""Command-line interface.
+
+``python -m truely_tpu analyze <video.mp4>`` is the minimum end-to-end
+slice from SURVEY.md §7: decode → batched MTCNN → FaceNet → scan → score,
+printing the fake score, suspicious-frame list, and per-stage timings.
+``serve`` starts the API server (reference: uvicorn main, server.py:975).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def cmd_analyze(args) -> int:
+    from truely_tpu.config import DetectorConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    config = DetectorConfig(
+        frame_batch=args.batch,
+        reference_compat=not args.corrected,
+    )
+    detector = Detector(config, weights_dir=args.weights)
+    if not detector.facenet_pretrained:
+        print(
+            "warning: no converted FaceNet weights found (set TRUELY_TPU_WEIGHTS); "
+            "running with seeded random weights — scores are not meaningful",
+            file=sys.stderr,
+        )
+    result = detector.analyze_video(args.video, args.output)
+    payload = {
+        "fakeScore": result.fake_score,
+        "frameCount": result.frame_count,
+        "fps": result.fps,
+        "processedFrames": result.total_processed,
+        "flaggedFrames": result.flagged_count,
+        "suspiciousFrames": result.suspicious_frames,
+        "timings": {k: round(v, 4) for k, v in result.timings.items()},
+    }
+    if args.output:
+        payload["outputPath"] = args.output
+    print(json.dumps(payload, indent=None if args.compact else 2))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from truely_tpu.config import ServerConfig
+    from truely_tpu.serve.app import create_app
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    app = create_app(config=ServerConfig(host=args.host, port=args.port))
+    app.serve()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="truely_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("analyze", help="analyze a video file")
+    p.add_argument("video")
+    p.add_argument("-o", "--output", help="write annotated video here")
+    p.add_argument("--batch", type=int, default=32, help="device frame batch")
+    p.add_argument("--weights", help="directory of converted .npz weights")
+    p.add_argument("--corrected", action="store_true",
+                   help="RGB + corrected semantics instead of reference compat")
+    p.add_argument("--compact", action="store_true", help="one-line JSON")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("serve", help="start the API server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5001)
+    p.set_defaults(fn=cmd_serve)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

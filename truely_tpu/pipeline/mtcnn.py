@@ -78,6 +78,7 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     levels = pyramid_schedule(h, w, cfg.min_face_size, cfg.scale_factor)
     all_boxes, all_scores, all_regs, all_valid = [], [], [], []
+    k_max = 0
     for lvl in levels:
         # Pyramid resample precision follows the net precision: uint8 pixels
         # are exact in bf16, so default (bf16) costs <=0.4% from weight
@@ -91,6 +92,7 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         )
         hp, wp = prob.shape[1], prob.shape[2]
         k1 = min(cfg.pnet_topk_per_scale, hp * wp)
+        k_max = max(k_max, k1)
         flat_p = prob.reshape(b, hp * wp)
         flat_r = reg.reshape(b, hp * wp, 4)
         vals, idx = jax.lax.top_k(flat_p, k1)
@@ -104,12 +106,33 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         q2y = jnp.floor((2.0 * ys + 12.0) / lvl.scale)
         boxes = jnp.stack([q1x, q1y, q2x, q2y], axis=-1)
         regs = jnp.take_along_axis(flat_r, idx[..., None], axis=1)
-        # Per-scale NMS 0.5.
-        keep = _batched_nms(boxes, vals, valid, cfg.nms_thresholds[0])
         all_boxes.append(boxes)
         all_scores.append(vals)
         all_regs.append(regs)
-        all_valid.append(jnp.logical_and(valid, keep))
+        all_valid.append(valid)
+
+    # Per-scale NMS 0.5: the scales are independent greedy chains, so pad
+    # each to a common capacity and run ONE batched loop over (B*S) chains
+    # instead of S sequential loops (the cascade's only serial code).
+    n_scales = len(levels)
+
+    def pad_to(a, k):
+        pad = [(0, 0), (0, k - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pad)
+
+    pboxes = jnp.stack([pad_to(x, k_max) for x in all_boxes], axis=1)
+    pscores = jnp.stack([pad_to(x, k_max) for x in all_scores], axis=1)
+    pvalid = jnp.stack([pad_to(x, k_max) for x in all_valid], axis=1)
+    keep = _batched_nms(
+        pboxes.reshape(b * n_scales, k_max, 4),
+        pscores.reshape(b * n_scales, k_max),
+        pvalid.reshape(b * n_scales, k_max),
+        cfg.nms_thresholds[0],
+    ).reshape(b, n_scales, k_max)
+    all_valid = [
+        jnp.logical_and(v, keep[:, s, : v.shape[1]])
+        for s, v in enumerate(all_valid)
+    ]
 
     boxes = jnp.concatenate(all_boxes, axis=1)
     scores = jnp.concatenate(all_scores, axis=1)
