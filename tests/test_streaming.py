@@ -1,0 +1,91 @@
+"""Multi-stream scheduler tests: interleaved streams must score exactly as
+if each were analyzed alone (the carried per-stream scan state is exact)."""
+
+import numpy as np
+import pytest
+
+from truely_tpu.config import DetectorConfig, MTCNNConfig
+from truely_tpu.pipeline.detector import Detector
+from truely_tpu.pipeline.streaming import StreamScheduler
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = DetectorConfig(
+        frame_batch=8,
+        mtcnn=MTCNNConfig(
+            pnet_topk_per_scale=32, pnet_topk_total=32,
+            rnet_capacity=8, onet_capacity=4,
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+        compute_dtype="float32",
+    )
+    return Detector(cfg)
+
+
+def make_stream(seed, n=24, h=64, w=96):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+
+def test_streams_match_solo_analysis(detector):
+    fps = 10  # interval 1 -> every frame sampled
+    streams = [make_stream(0), make_stream(1)]
+
+    solo = [detector.analyze_frames(s, fps=fps) for s in streams]
+
+    sched = StreamScheduler(detector, n_streams=2, frames_per_stream=4, fps=fps)
+    events = []
+    for t in range(streams[0].shape[0]):
+        for i, s in enumerate(streams):
+            sched.push(i, s[t])
+        if sched.pending() >= 8:
+            events.extend(sched.step())
+    events.extend(sched.drain())
+
+    by_stream = {0: [], 1: []}
+    for e in events:
+        by_stream[e.stream_id].append(e)
+    for i in range(2):
+        by_stream[i].sort(key=lambda e: e.frame_index)
+        solo_recs = solo[i].records
+        assert len(by_stream[i]) == len(solo_recs)
+        for ev, rec in zip(by_stream[i], solo_recs):
+            assert ev.frame_index == rec.frame_index
+            assert ev.has_face == rec.has_face
+            assert ev.flagged == rec.flagged
+            assert ev.counter == rec.counter
+        assert sched.stats[i].processed == solo[i].total_processed
+        assert sched.stats[i].flagged_count == solo[i].flagged_count
+        assert sched.score(i) == solo[i].fake_score
+
+
+def test_sampling_in_scheduler(detector):
+    sched = StreamScheduler(detector, n_streams=1, frames_per_stream=4, fps=30)
+    assert sched.sample_interval == 4
+    frames = make_stream(2, n=12)
+    for t in range(12):
+        sched.push(0, frames[t])
+    assert sched.pending() == 3  # frames 0, 4, 8
+    events = sched.drain()
+    assert [e.frame_index for e in events] == [0, 4, 8]
+
+
+def test_unbalanced_streams(detector):
+    """A stream with no pending frames must not corrupt the others."""
+    fps = 10
+    s0 = make_stream(3, n=10)
+    sched = StreamScheduler(detector, n_streams=3, frames_per_stream=4, fps=fps)
+    for t in range(10):
+        sched.push(0, s0[t])
+    events = sched.drain()
+    assert all(e.stream_id == 0 for e in events)
+    assert len(events) == 10
+    solo = detector.analyze_frames(s0, fps=fps)
+    assert sched.score(0) == solo.fake_score
+    assert sched.score(1) == 0
+
+
+def test_step_with_nothing_queued(detector):
+    sched = StreamScheduler(detector, n_streams=2, fps=30)
+    assert sched.step() == []

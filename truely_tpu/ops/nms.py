@@ -70,45 +70,56 @@ def nms_masked_batch(
 ) -> jnp.ndarray:
     """Batched exact greedy NMS over (B, K, 4) boxes with (B, K) masks.
 
-    Same semantics as vmapping :func:`nms_masked` (tested equivalent), but
-    one ``while_loop`` processes sorted candidate i across the whole batch
-    per step and exits early once every frame's valid candidates are
-    exhausted — in practice a handful of iterations instead of K, which
-    matters because this loop is the only sequential code in the cascade.
+    Same results as vmapping :func:`nms_masked` (tested equivalent), but
+    computed as a *round-based parallel* fixpoint instead of a K-step
+    sequential scan: in each round, every undecided candidate whose
+    higher-ranked overlaps are all already suppressed becomes KEPT, and
+    every undecided candidate overlapped by a kept one becomes SUPPRESSED.
+    This reproduces the greedy order exactly (induction over the
+    suppression DAG) while deciding whole antichains at once: the loop runs
+    for the DAG's depth (a handful of rounds in practice, K at pathological
+    worst) and each round is pure vectorized VPU work.  The K-step
+    sequential scan this replaces was the single largest cost in the whole
+    1080p cascade.
     """
     k = boxes.shape[1]
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores, axis=1, stable=True)
-    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    svalid = jnp.take_along_axis(valid, order, axis=1)
-    iou = jax.vmap(lambda b: iou_matrix(b, method=method))(sboxes)  # (B, K, K)
+    iou = jax.vmap(lambda bx: iou_matrix(bx, method=method))(boxes)  # (B, K, K)
     idx = jnp.arange(k)
-    # Candidates sort before invalid ones, so only the first ``n_needed``
-    # sorted slots can ever be kept.
-    n_needed = jnp.max(jnp.sum(svalid.astype(jnp.int32), axis=1))
+    # "j outranks i": strictly higher score, index tiebreak (stable order).
+    outranks = jnp.logical_or(
+        scores[:, :, None] > scores[:, None, :],
+        jnp.logical_and(
+            scores[:, :, None] == scores[:, None, :],
+            (idx[:, None] < idx[None, :])[None],
+        ),
+    )
+    # overlap[b, j, i]: candidate j suppresses i if j ends up kept.
+    overlap = jnp.logical_and(iou > iou_threshold, outranks)
+    overlap = jnp.logical_and(overlap, valid[:, :, None])  # invalid j never acts
+
+    kept0 = jnp.zeros_like(valid)
+    suppressed0 = jnp.logical_not(valid)  # invalid candidates are pre-decided
 
     def cond(state):
-        i, _, _ = state
-        return i < n_needed
+        kept, suppressed = state
+        return jnp.any(jnp.logical_not(jnp.logical_or(kept, suppressed)))
 
     def body(state):
-        i, alive, keep = state
-        kept_i = jnp.logical_and(alive[:, i], svalid[:, i])  # (B,)
-        keep = keep.at[:, i].set(kept_i)
-        suppress = jnp.logical_and(
-            kept_i[:, None],
-            jnp.logical_and(iou[:, i, :] > iou_threshold, idx[None, :] > i),
-        )
-        alive = jnp.logical_and(alive, jnp.logical_not(suppress))
-        return i + 1, alive, keep
+        kept, suppressed = state
+        undecided = jnp.logical_not(jnp.logical_or(kept, suppressed))
+        # Keep i iff every overlapping higher-ranked j is suppressed,
+        # i.e. no overlapping j is kept or still undecided.
+        blocker = jnp.logical_or(kept, undecided)
+        blocked = jnp.any(jnp.logical_and(overlap, blocker[:, :, None]), axis=1)
+        new_kept = jnp.logical_and(undecided, jnp.logical_not(blocked))
+        kept = jnp.logical_or(kept, new_kept)
+        # Suppress undecided candidates overlapped by anything now kept.
+        dead = jnp.any(jnp.logical_and(overlap, kept[:, :, None]), axis=1)
+        suppressed = jnp.logical_or(suppressed, jnp.logical_and(undecided, dead))
+        return kept, suppressed
 
-    b = boxes.shape[0]
-    alive0 = jnp.ones((b, k), dtype=bool)
-    keep0 = jnp.zeros((b, k), dtype=bool)
-    _, _, keep_sorted = jax.lax.while_loop(cond, body, (jnp.int32(0), alive0, keep0))
-
-    keep = jnp.zeros((b, k), dtype=bool)
-    return keep.at[jnp.arange(b)[:, None], order].set(keep_sorted)
+    kept, _ = jax.lax.while_loop(cond, body, (kept0, suppressed0))
+    return kept
 
 
 def topk_select(

@@ -41,7 +41,7 @@ from truely_tpu.ops.resize import crop_resize_bilinear
 from truely_tpu.ops.temporal import (
     TemporalState, init_temporal_state, temporal_consistency, weighted_score,
 )
-from truely_tpu.pipeline.mtcnn import MTCNNParams, detect_faces, select_primary_face
+from truely_tpu.pipeline.mtcnn import MTCNNParams, detect_faces, select_primary_face  # noqa: E501
 
 
 class DetectorParams(NamedTuple):
@@ -115,6 +115,38 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
         box=box, crop_bounds=bounds, has_face=has_face,
         embedding=emb, landmarks68=lmk,
     )
+
+
+def _multiface_step(params: DetectorParams, frames: jax.Array,
+                    cfg: DetectorConfig, compute_dtype):
+    """Embed the top-``max_tracks`` faces per frame (BASELINE config 4).
+
+    Returns (boxes (B, T, 4) f32, valid (B, T), embeddings (B, T, 512))."""
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    t = cfg.max_tracks
+    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+    area = (det.boxes[..., 2] - det.boxes[..., 0]) * (
+        det.boxes[..., 3] - det.boxes[..., 1]
+    )
+    key = jnp.where(det.valid, area, -jnp.inf)
+    _, idx = jax.lax.top_k(key, t)  # (B, T)
+    boxes = jnp.take_along_axis(det.boxes, idx[..., None], axis=1)
+    valid = jnp.take_along_axis(det.valid, idx, axis=1)
+
+    bi = boxes.astype(jnp.int32)
+    x0 = jnp.maximum(bi[..., 0], 0)
+    y0 = jnp.maximum(bi[..., 1], 0)
+    x1 = jnp.minimum(bi[..., 2], w)
+    y1 = jnp.minimum(bi[..., 3], h)
+    valid = jnp.logical_and(valid, jnp.logical_and(x1 > x0, y1 > y0))
+    bounds = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, T, 4)
+    crops = crop_resize_bilinear(frames, bounds, cfg.crop_size)  # (B, T, S, S, 3)
+    s = cfg.crop_size
+    emb = apply_inception_resnet_v1(
+        params.facenet, crops.reshape(b * t, s, s, 3) * (1.0 / 255.0),
+        dtype=compute_dtype,
+    ).reshape(b, t, -1)
+    return boxes.astype(jnp.float32), valid, emb
 
 
 def _temporal_step(emb, has_face, n_valid, state, cfg: DetectorConfig):
@@ -365,6 +397,55 @@ class Detector:
             final_counter=int(state.counter),
             records=records,
         )
+
+    def analyze_frames_tracks(self, frames: np.ndarray, fps: int):
+        """Multi-face analysis of an in-memory frame array (BASELINE
+        config 4): per-track consistency scoring; the aggregate fake score
+        is the max over tracks.  Returns (aggregate_score, per_track_scores,
+        final TrackState)."""
+        from truely_tpu.pipeline.tracks import (
+            init_track_state, track_timeline, track_scores,
+        )
+
+        cfg = self.config
+        if not hasattr(self, "_mstep"):
+            self._mstep = jax.jit(
+                partial(
+                    _multiface_step, cfg=cfg, compute_dtype=self._compute_dtype
+                )
+            )
+            self._track_fold = jax.jit(
+                partial(
+                    track_timeline,
+                    similarity_threshold=cfg.similarity_threshold,
+                    run_length_threshold=cfg.run_length_threshold,
+                )
+            )
+            self._track_scores = jax.jit(
+                partial(
+                    track_scores,
+                    run_length_threshold=cfg.run_length_threshold,
+                    long_video_seconds=cfg.long_video_seconds,
+                )
+            )
+        interval = cfg.sample_interval(fps)
+        n = frames.shape[0]
+        sampled_idx = list(range(0, n, interval))
+        state = init_track_state(cfg.max_tracks, 512)
+        b = cfg.frame_batch
+        for s in range(0, len(sampled_idx), b):
+            chunk = sampled_idx[s : s + b]
+            stack = np.zeros((b, *frames.shape[1:]), np.uint8)
+            stack[: len(chunk)] = frames[chunk]
+            boxes, valid, emb = self._mstep(self.params, jnp.asarray(stack))
+            state, _ = self._track_fold(
+                state, boxes, valid, emb, jnp.int32(len(chunk))
+            )
+        per_track = self._track_scores(
+            state, jnp.int32(n), jnp.int32(fps)
+        )
+        per_track = np.asarray(per_track)
+        return int(per_track.max(initial=0)), per_track, state
 
     def run(self, video_path_one: str, video_path_two: str) -> int:
         """Drop-in equivalent of reference server/model.py ``run()``:

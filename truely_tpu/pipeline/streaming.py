@@ -1,0 +1,190 @@
+"""Real-time multi-stream scheduler (BASELINE config 5).
+
+Multiplexes N concurrent video streams into shared device batches: each
+``step()`` packs up to ``frames_per_stream`` queued sampled frames from
+every stream into one (N * F, H, W, 3) batch, runs the single compiled
+detector step, then folds each stream's slice through its own temporal
+state with a vmapped scan — so per-stream scoring is exactly what each
+stream would get analyzed alone (tested), while the TPU sees one big batch.
+
+The reference has no streaming mode at all (strictly one blocking video at
+a time, SURVEY.md §2.3); this is the design SURVEY.md §7 calls the
+"streaming config" hard part: a per-stream ring buffer + batch scheduler
+with scan state carried across batches.
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass, field
+from typing import Deque, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from truely_tpu.config import DetectorConfig
+from truely_tpu.ops.temporal import (
+    TemporalState, init_temporal_state, temporal_consistency, weighted_score,
+)
+
+
+@dataclass
+class StreamEvent:
+    stream_id: int
+    frame_index: int
+    has_face: bool
+    flagged: bool
+    annotated: bool
+    box: Tuple[float, float, float, float]
+    similarity: float
+    counter: int
+
+
+@dataclass
+class StreamStats:
+    processed: int = 0       # sampled frames analyzed
+    flagged_count: int = 0
+    frames_seen: int = 0     # total frames pushed (incl. unsampled)
+    pending: int = 0
+
+
+class StreamScheduler:
+    def __init__(
+        self,
+        detector,
+        n_streams: int,
+        *,
+        frames_per_stream: Optional[int] = None,
+        fps: int = 60,
+    ):
+        self.detector = detector
+        self.config: DetectorConfig = detector.config
+        self.n_streams = n_streams
+        self.fps = fps
+        self.sample_interval = self.config.sample_interval(fps)
+        f = frames_per_stream or max(1, self.config.frame_batch // n_streams)
+        self.frames_per_stream = f
+        self._queues: List[Deque[Tuple[int, np.ndarray]]] = [
+            collections.deque() for _ in range(n_streams)
+        ]
+        self._states = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * n_streams), init_temporal_state(512)
+        )
+        self.stats: Dict[int, StreamStats] = {
+            i: StreamStats() for i in range(n_streams)
+        }
+        self._vtemporal = jax.jit(
+            jax.vmap(
+                lambda e, h, n, s: temporal_consistency(
+                    e, h, n, state=s,
+                    similarity_threshold=self.config.similarity_threshold,
+                    run_length_threshold=self.config.run_length_threshold,
+                )
+            )
+        )
+
+    # ------------------------------------------------------------------
+
+    def push(self, stream_id: int, frame: np.ndarray) -> None:
+        """Feed the next frame of a stream; frames are ~7 Hz-sampled here
+        (reference sampling law) and queued for the next batch step."""
+        st = self.stats[stream_id]
+        if st.frames_seen % self.sample_interval == 0:
+            self._queues[stream_id].append((st.frames_seen, frame))
+            st.pending += 1
+        st.frames_seen += 1
+
+    def pending(self) -> int:
+        return sum(len(q) for q in self._queues)
+
+    # ------------------------------------------------------------------
+
+    def step(self) -> List[StreamEvent]:
+        """Run one shared device batch over whatever is queued."""
+        s, f = self.n_streams, self.frames_per_stream
+        sample = None
+        for q in self._queues:
+            if q:
+                sample = q[0][1]
+                break
+        if sample is None:
+            return []
+        h, w = sample.shape[0], sample.shape[1]
+        batch = np.zeros((s, f, h, w, 3), np.uint8)
+        n_valid = np.zeros((s,), np.int32)
+        indices: List[List[int]] = [[] for _ in range(s)]
+        for i, q in enumerate(self._queues):
+            while q and len(indices[i]) < f:
+                idx, frame = q.popleft()
+                batch[i, len(indices[i])] = frame
+                indices[i].append(idx)
+                self.stats[i].pending -= 1
+            n_valid[i] = len(indices[i])
+
+        out = self.detector.step_device(
+            jnp.asarray(batch.reshape(s * f, h, w, 3))
+        )
+        emb = out.embedding.reshape(s, f, -1)
+        has_face = out.has_face.reshape(s, f)
+        res = self._vtemporal(
+            emb, has_face, jnp.asarray(n_valid), self._states
+        )
+        self._states = res.state
+
+        bounds = np.asarray(out.crop_bounds).reshape(s, f, 4)
+        hf = np.asarray(res.has_face)
+        ann = np.asarray(res.annotated)
+        flg = np.asarray(res.flagged)
+        sim = np.asarray(res.similarity)
+        cnt = np.asarray(res.counter)
+        events: List[StreamEvent] = []
+        for i in range(s):
+            for j, frame_idx in enumerate(indices[i]):
+                events.append(
+                    StreamEvent(
+                        stream_id=i,
+                        frame_index=frame_idx,
+                        has_face=bool(hf[i, j]),
+                        flagged=bool(flg[i, j]),
+                        annotated=bool(ann[i, j]),
+                        box=tuple(float(v) for v in bounds[i, j]),
+                        similarity=float(sim[i, j]),
+                        counter=int(cnt[i, j]),
+                    )
+                )
+            st = self.stats[i]
+            st.processed += int(n_valid[i])
+            st.flagged_count += int(flg[i, : n_valid[i]].sum())
+        return events
+
+    def drain(self) -> List[StreamEvent]:
+        events: List[StreamEvent] = []
+        while self.pending():
+            events.extend(self.step())
+        return events
+
+    # ------------------------------------------------------------------
+
+    def score(self, stream_id: int) -> int:
+        """Rolling fake score for one stream (reference formula over the
+        frames seen so far)."""
+        st = self.stats[stream_id]
+        if st.processed == 0:
+            return 0
+        counter = int(
+            np.asarray(
+                jax.tree_util.tree_map(lambda x: x[stream_id], self._states).counter
+            )
+        )
+        return int(
+            weighted_score(
+                jnp.int32(st.flagged_count),
+                jnp.int32(counter),
+                jnp.int32(st.processed),
+                jnp.int32(st.frames_seen),
+                jnp.int32(self.fps),
+                run_length_threshold=self.config.run_length_threshold,
+                long_video_seconds=self.config.long_video_seconds,
+            )
+        )
