@@ -94,6 +94,21 @@ def test_nms_batch_equals_vmapped_single(seed, method):
         np.testing.assert_array_equal(got[i], single)
 
 
+def test_nms_batch_bounded_rounds_matches_exact_on_shallow_chains():
+    rng = np.random.default_rng(5)
+    b, n = 4, 48
+    boxes = np.stack([random_boxes(rng, n) for _ in range(b)])
+    scores = rng.uniform(0.1, 1.0, (b, n)).astype(np.float32)
+    valid = np.ones((b, n), bool)
+    exact = np.asarray(nms_masked_batch(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        iou_threshold=0.5, max_rounds=0))
+    bounded = np.asarray(nms_masked_batch(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        iou_threshold=0.5, max_rounds=64))
+    np.testing.assert_array_equal(exact, bounded)
+
+
 def test_nms_batch_all_invalid():
     boxes = jnp.zeros((2, 8, 4))
     keep = np.asarray(

@@ -164,7 +164,7 @@ def make_nets_and_params(seed):
 def test_cascade_matches_oracle(seed):
     # Random nets produce arbitrary "detections"; thresholds tuned so each
     # stage keeps a handful of candidates within our fixed capacities.
-    cfg = MTCNNConfig(thresholds=(0.92, 0.55, 0.30))
+    cfg = MTCNNConfig(thresholds=(0.92, 0.55, 0.30), nms_max_rounds=0)
     (pnet_t, rnet_t, onet_t), params = make_nets_and_params(seed)
 
     rng = np.random.default_rng(seed)

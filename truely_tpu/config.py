@@ -24,6 +24,11 @@ class MTCNNConfig:
     scale_factor: float = 0.709
     # NMS IoU thresholds: per-scale P-Net, cross-scale P-Net, R-Net, O-Net.
     nms_thresholds: Tuple[float, float, float, float] = (0.5, 0.7, 0.7, 0.7)
+    # Round cap for the parallel-greedy NMS fixpoint: 0 = run to
+    # convergence (exact greedy, any chain depth); >0 bounds worst-case
+    # latency — real suppression chains are a handful of rounds deep, so 64
+    # is semantically safe while keeping adversarial inputs O(rounds).
+    nms_max_rounds: int = 64
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # top-K P-Net candidates kept per pyramid scale, after merging scales,
     # after R-Net, and after O-Net.

@@ -67,6 +67,7 @@ def nms_masked_batch(
     *,
     iou_threshold: float,
     method: str = "union",
+    max_rounds: int = 0,
 ) -> jnp.ndarray:
     """Batched exact greedy NMS over (B, K, 4) boxes with (B, K) masks.
 
@@ -101,11 +102,14 @@ def nms_masked_batch(
     suppressed0 = jnp.logical_not(valid)  # invalid candidates are pre-decided
 
     def cond(state):
-        kept, suppressed = state
-        return jnp.any(jnp.logical_not(jnp.logical_or(kept, suppressed)))
+        r, kept, suppressed = state
+        undecided = jnp.any(jnp.logical_not(jnp.logical_or(kept, suppressed)))
+        if max_rounds > 0:
+            return jnp.logical_and(undecided, r < max_rounds)
+        return undecided
 
     def body(state):
-        kept, suppressed = state
+        r, kept, suppressed = state
         undecided = jnp.logical_not(jnp.logical_or(kept, suppressed))
         # Keep i iff every overlapping higher-ranked j is suppressed,
         # i.e. no overlapping j is kept or still undecided.
@@ -116,9 +120,21 @@ def nms_masked_batch(
         # Suppress undecided candidates overlapped by anything now kept.
         dead = jnp.any(jnp.logical_and(overlap, kept[:, :, None]), axis=1)
         suppressed = jnp.logical_or(suppressed, jnp.logical_and(undecided, dead))
-        return kept, suppressed
+        return r + 1, kept, suppressed
 
-    kept, _ = jax.lax.while_loop(cond, body, (kept0, suppressed0))
+    _, kept, suppressed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), kept0, suppressed0)
+    )
+    if max_rounds > 0:
+        # Bounded mode: chains deeper than max_rounds (pathological noise —
+        # real NMS chains are a handful deep) get a deterministic tail:
+        # keep every remaining undecided candidate not overlapped by a kept
+        # one.  Exact greedy whenever the fixpoint converged in time.
+        undecided = jnp.logical_not(jnp.logical_or(kept, suppressed))
+        dead = jnp.any(jnp.logical_and(overlap, kept[:, :, None]), axis=1)
+        kept = jnp.logical_or(
+            kept, jnp.logical_and(undecided, jnp.logical_not(dead))
+        )
     return kept
 
 

@@ -166,6 +166,8 @@ def _enable_compilation_cache() -> None:
         "TRUELY_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/truely_tpu_xla")
     )
     try:
+        if jax.default_backend() == "cpu":
+            return  # CPU compiles fast; AOT cache entries aren't portable
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

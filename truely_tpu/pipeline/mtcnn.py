@@ -51,9 +51,11 @@ def _normalize(x: jax.Array) -> jax.Array:
     return (x.astype(jnp.float32) - 127.5) * 0.0078125
 
 
-def _batched_nms(boxes, scores, valid, iou_threshold, method="union"):
+def _batched_nms(boxes, scores, valid, iou_threshold, method="union",
+                 max_rounds=0):
     return nms_masked_batch(
-        boxes, scores, valid, iou_threshold=iou_threshold, method=method
+        boxes, scores, valid, iou_threshold=iou_threshold, method=method,
+        max_rounds=max_rounds,
     )
 
 
@@ -128,6 +130,7 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         pscores.reshape(b * n_scales, k_max),
         pvalid.reshape(b * n_scales, k_max),
         cfg.nms_thresholds[0],
+        max_rounds=cfg.nms_max_rounds,
     ).reshape(b, n_scales, k_max)
     all_valid = [
         jnp.logical_and(v, keep[:, s, : v.shape[1]])
@@ -142,7 +145,8 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     k_total = min(cfg.pnet_topk_total, boxes.shape[1])
     scores, valid, boxes, regs = _topk_gather(scores, valid, k_total, boxes, regs)
     # Cross-scale NMS 0.7.
-    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[1])
+    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[1],
+                        max_rounds=cfg.nms_max_rounds)
     valid = jnp.logical_and(valid, keep)
     # Stage-1 regression (upstream uses w = x2-x1 with NO +1 here) + square.
     regw = (boxes[..., 2] - boxes[..., 0])[..., None]
@@ -187,7 +191,8 @@ def detect_faces(
     reg = reg.reshape(b, k2, 4)
     valid = jnp.logical_and(valid, prob > cfg.thresholds[1])
     scores = prob
-    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[2])
+    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[2],
+                        max_rounds=cfg.nms_max_rounds)
     valid = jnp.logical_and(valid, keep)
     boxes = rerec(bbreg(boxes, reg))
 
@@ -209,7 +214,8 @@ def detect_faces(
     pts_y = hi[..., None] * lmk[..., 5:10] + boxes[..., 1:2] - 1.0
     landmarks = jnp.stack([pts_x, pts_y], axis=-1)  # (B, K, 5, 2)
     boxes = bbreg(boxes, reg)
-    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[3], method="min")
+    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[3],
+                        method="min", max_rounds=cfg.nms_max_rounds)
     valid = jnp.logical_and(valid, keep)
 
     return Detections(boxes=boxes, scores=scores, landmarks=landmarks, valid=valid)
