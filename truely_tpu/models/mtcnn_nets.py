@@ -45,6 +45,49 @@ def init_pnet(key) -> dict:
     }
 
 
+def apply_pnet_trunk(
+    params: dict,
+    x: jnp.ndarray,
+    *,
+    dtype: Optional[jnp.dtype] = None,
+    precision=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared trunk + classifier head.
+
+    Returns (prob (B, H', W'), feat (B, H', W', 32)).  The regression head
+    is a 1x1 conv, so callers that only need box offsets for a few selected
+    cells can gather trunk features and apply :func:`pnet_reg_from_features`
+    instead of running conv4_2 over the whole grid.
+    """
+    kw = dict(dtype=dtype, precision=precision)
+    h = L.prelu(L.conv2d(x, params["conv1"], **kw), params["prelu1"])
+    h = L.max_pool(h, 2, 2, ceil_mode=True)
+    h = L.prelu(L.conv2d(h, params["conv2"], **kw), params["prelu2"])
+    h = L.prelu(L.conv2d(h, params["conv3"], **kw), params["prelu3"])
+    cls = L.conv2d(h, params["conv4_1"], **kw).astype(jnp.float32)
+    prob = jax.nn.softmax(cls, axis=-1)[..., 1]
+    return prob, h
+
+
+def pnet_reg_from_features(
+    params: dict,
+    feat: jnp.ndarray,
+    *,
+    dtype: Optional[jnp.dtype] = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Apply the conv4_2 1x1 regression head to (..., 32) feature rows
+    (numerically identical to running the conv over the grid)."""
+    w = params["conv4_2"]["w"].reshape(32, 4)
+    if dtype is not None:
+        feat = feat.astype(dtype)
+        w = w.astype(dtype)
+    out = jnp.matmul(
+        feat, w, preferred_element_type=jnp.float32, precision=precision
+    ).astype(jnp.float32)
+    return out + params["conv4_2"]["b"]
+
+
 def apply_pnet(
     params: dict,
     x: jnp.ndarray,
@@ -54,14 +97,8 @@ def apply_pnet(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: (B, H, W, 3) normalized. Returns (prob (B, H', W'), reg (B, H', W', 4))
     with H' = (H - 10) // 2 (valid convs + ceil 2x2 pool)."""
-    kw = dict(dtype=dtype, precision=precision)
-    h = L.prelu(L.conv2d(x, params["conv1"], **kw), params["prelu1"])
-    h = L.max_pool(h, 2, 2, ceil_mode=True)
-    h = L.prelu(L.conv2d(h, params["conv2"], **kw), params["prelu2"])
-    h = L.prelu(L.conv2d(h, params["conv3"], **kw), params["prelu3"])
-    cls = L.conv2d(h, params["conv4_1"], **kw).astype(jnp.float32)
-    reg = L.conv2d(h, params["conv4_2"], **kw).astype(jnp.float32)
-    prob = jax.nn.softmax(cls, axis=-1)[..., 1]
+    prob, h = apply_pnet_trunk(x=x, params=params, dtype=dtype, precision=precision)
+    reg = L.conv2d(h, params["conv4_2"], dtype=dtype, precision=precision).astype(jnp.float32)
     return prob, reg
 
 

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 
 from truely_tpu.ops.boxes import iou_matrix
 
-NEG_INF = jnp.float32(-1e30)
+# Plain Python float, NOT a jnp scalar: a module-level device-array constant
+# gets captured by every consuming jit and costs a ~42 ms per-call penalty on
+# the remote-TPU runtime (measured — it singlehandedly dominated the 1080p
+# cascade until found).
+NEG_INF = -1e30
 
 
 def nms_masked(
@@ -68,6 +72,7 @@ def nms_masked_batch(
     iou_threshold: float,
     method: str = "union",
     max_rounds: int = 0,
+    groups: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched exact greedy NMS over (B, K, 4) boxes with (B, K) masks.
 
@@ -97,6 +102,11 @@ def nms_masked_batch(
     # overlap[b, j, i]: candidate j suppresses i if j ends up kept.
     overlap = jnp.logical_and(iou > iou_threshold, outranks)
     overlap = jnp.logical_and(overlap, valid[:, :, None])  # invalid j never acts
+    if groups is not None:
+        # Independent suppression groups (e.g. per-pyramid-scale NMS run on
+        # a mixed candidate set): only same-group pairs interact.
+        same = groups[:, :, None] == groups[:, None, :]
+        overlap = jnp.logical_and(overlap, same)
 
     kept0 = jnp.zeros_like(valid)
     suppressed0 = jnp.logical_not(valid)  # invalid candidates are pre-decided

@@ -108,7 +108,13 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
     has_face = jnp.logical_and(has_face, ok)
     bounds = jnp.stack([x0, y0, x1, y1], axis=-1)
     crops = crop_resize_bilinear(frames, bounds[:, None, :], cfg.crop_size)[:, 0]
-    crops = crops * (1.0 / 255.0)  # torchvision to_tensor scaling (model.py:58)
+    if cfg.reference_compat:
+        # torchvision to_tensor scaling, no standardization (model.py:58).
+        crops = crops * (1.0 / 255.0)
+    else:
+        # FaceNet's fixed image standardization (what the embedder was
+        # actually trained with; corrected mode).
+        crops = (crops - 127.5) * (1.0 / 128.0)
     emb = apply_inception_resnet_v1(params.facenet, crops, dtype=compute_dtype)
     lmk = apply_landmark68(params.landmark, crops, dtype=compute_dtype)
     return FrameOutputs(
@@ -142,9 +148,14 @@ def _multiface_step(params: DetectorParams, frames: jax.Array,
     bounds = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, T, 4)
     crops = crop_resize_bilinear(frames, bounds, cfg.crop_size)  # (B, T, S, S, 3)
     s = cfg.crop_size
+    flat = crops.reshape(b * t, s, s, 3)
+    flat = (
+        flat * (1.0 / 255.0)
+        if cfg.reference_compat
+        else (flat - 127.5) * (1.0 / 128.0)
+    )
     emb = apply_inception_resnet_v1(
-        params.facenet, crops.reshape(b * t, s, s, 3) * (1.0 / 255.0),
-        dtype=compute_dtype,
+        params.facenet, flat, dtype=compute_dtype
     ).reshape(b, t, -1)
     return boxes.astype(jnp.float32), valid, emb
 

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from truely_tpu.config import MTCNNConfig
-from truely_tpu.models.mtcnn_nets import apply_pnet, apply_rnet, apply_onet
+from truely_tpu.models.mtcnn_nets import (
+    apply_pnet_trunk, apply_rnet, apply_onet, pnet_reg_from_features,
+)
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
 from truely_tpu.ops.resize import resize_area, integral_image, crop_resize_area
@@ -52,35 +54,67 @@ def _normalize(x: jax.Array) -> jax.Array:
 
 
 def _batched_nms(boxes, scores, valid, iou_threshold, method="union",
-                 max_rounds=0):
+                 max_rounds=0, groups=None):
     return nms_masked_batch(
         boxes, scores, valid, iou_threshold=iou_threshold, method=method,
-        max_rounds=max_rounds,
+        max_rounds=max_rounds, groups=groups,
     )
 
 
 def _topk_gather(scores, valid, k_out, *arrays):
-    """Per-frame top-k by masked score. Returns (scores, valid, *gathered)."""
+    """Per-frame top-k by masked score. Returns (scores, valid, *gathered).
+
+    All payload arrays are fused into ONE concatenated gather: separate
+    take_along_axis calls sharing the same top-k indices trip an XLA:TPU
+    pathology here (multi-minute compiles, a 40 ms kernel for what is
+    otherwise 0.04 ms — measured at 1080p batch 8).
+    """
     masked = jnp.where(valid, scores, NEG_INF)
     vals, idx = jax.lax.top_k(masked, k_out)  # (B, k_out)
     new_valid = vals > NEG_INF / 2
-    gathered = []
+    if not arrays:
+        return jnp.where(new_valid, vals, 0.0), new_valid
+    b = scores.shape[0]
+    parts = []
+    splits = []
+    offset = 0
     for a in arrays:
-        if a.ndim == 2:
-            gathered.append(jnp.take_along_axis(a, idx, axis=1))
-        else:
-            expand = idx.reshape(idx.shape + (1,) * (a.ndim - 2))
-            gathered.append(jnp.take_along_axis(a, expand, axis=1))
+        flat = a.reshape(b, a.shape[1], -1).astype(jnp.float32)
+        parts.append(flat)
+        offset += flat.shape[-1]
+        splits.append(offset)
+    payload = jnp.concatenate(parts, axis=-1)  # (B, K_in, sum_widths)
+    taken = jnp.take_along_axis(payload, idx[..., None], axis=1)
+    gathered = []
+    start = 0
+    for a, end in zip(arrays, splits):
+        piece = taken[..., start:end]
+        start = end
+        out_shape = (b, k_out) + a.shape[2:]
+        piece = piece.reshape(out_shape).astype(a.dtype)
+        gathered.append(piece)
     return (jnp.where(new_valid, vals, 0.0), new_valid, *gathered)
 
 
 def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
-    """P-Net over the pyramid. Returns (boxes, scores, valid) at
-    capacity cfg.pnet_topk_total, regression applied and squared."""
+    """P-Net over the pyramid. Returns (boxes, scores, valid) at capacity
+    cfg.pnet_topk_total, regression applied and squared.
+
+    Design: ONE global top-k over every cell of every pyramid level, not 12
+    per-level candidate streams.  Box coordinates are reconstructed
+    arithmetically from the flat cell index (static per-level offsets), and
+    regression offsets come from the 1x1 head applied to *gathered* trunk
+    features — so the whole-grid work is exactly the trunk + classifier
+    convs, and only K cells ever touch the box/regression math.  (The
+    12-stream formulation triggered an XLA:TPU fusion/layout pathology:
+    multi-minute compiles and a ~40 ms stage on an otherwise sub-ms graph.)
+    Per-scale NMS runs on the selected set grouped by level id.
+    """
     b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     levels = pyramid_schedule(h, w, cfg.min_face_size, cfg.scale_factor)
-    all_boxes, all_scores, all_regs, all_valid = [], [], [], []
-    k_max = 0
+    probs, feats = [], []
+    offsets, wps, scales = [], [], []
+    offset = 0
     for lvl in levels:
         # Pyramid resample precision follows the net precision: uint8 pixels
         # are exact in bf16, so default (bf16) costs <=0.4% from weight
@@ -89,64 +123,59 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
             frames, (lvl.height, lvl.width),
             precision=precision if precision is not None else jax.lax.Precision.DEFAULT,
         )
-        prob, reg = apply_pnet(
+        prob, feat = apply_pnet_trunk(
             params.pnet, _normalize(scaled), dtype=dtype, precision=precision
         )
         hp, wp = prob.shape[1], prob.shape[2]
-        k1 = min(cfg.pnet_topk_per_scale, hp * wp)
-        k_max = max(k_max, k1)
-        flat_p = prob.reshape(b, hp * wp)
-        flat_r = reg.reshape(b, hp * wp, 4)
-        vals, idx = jax.lax.top_k(flat_p, k1)
-        valid = vals >= cfg.thresholds[0]
-        ys = (idx // wp).astype(jnp.float32)
-        xs = (idx % wp).astype(jnp.float32)
-        # Cell -> original-image box: stride 2, cell 12 (upstream mapping).
-        q1x = jnp.floor((2.0 * xs + 1.0) / lvl.scale)
-        q1y = jnp.floor((2.0 * ys + 1.0) / lvl.scale)
-        q2x = jnp.floor((2.0 * xs + 12.0) / lvl.scale)
-        q2y = jnp.floor((2.0 * ys + 12.0) / lvl.scale)
-        boxes = jnp.stack([q1x, q1y, q2x, q2y], axis=-1)
-        regs = jnp.take_along_axis(flat_r, idx[..., None], axis=1)
-        all_boxes.append(boxes)
-        all_scores.append(vals)
-        all_regs.append(regs)
-        all_valid.append(valid)
+        probs.append(prob.reshape(b, hp * wp))
+        feats.append(feat.reshape(b, hp * wp, feat.shape[-1]))
+        offsets.append(offset)
+        wps.append(wp)
+        scales.append(lvl.scale)
+        offset += hp * wp
 
-    # Per-scale NMS 0.5: the scales are independent greedy chains, so pad
-    # each to a common capacity and run ONE batched loop over (B*S) chains
-    # instead of S sequential loops (the cascade's only serial code).
-    n_scales = len(levels)
+    probs_all = jnp.concatenate(probs, axis=1)   # (B, N)
+    feats_all = jnp.concatenate(feats, axis=1)   # (B, N, 32)
+    k_total = min(cfg.pnet_topk_total, probs_all.shape[1])
+    scores, idx = jax.lax.top_k(probs_all, k_total)  # (B, K)
+    valid = scores >= cfg.thresholds[0]
 
-    def pad_to(a, k):
-        pad = [(0, 0), (0, k - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
-        return jnp.pad(a, pad)
+    # Reconstruct (level, y, x) from the flat index via static tables.
+    offs = jnp.asarray(offsets, jnp.int32)       # (L,)
+    lvl_id = jnp.searchsorted(offs, idx, side="right").astype(jnp.int32) - 1
+    wp_tab = jnp.asarray(wps, jnp.int32)
+    scale_tab = jnp.asarray(scales, jnp.float32)
+    wp_sel = wp_tab[lvl_id]
+    scale_sel = scale_tab[lvl_id]
+    cell = idx - offs[lvl_id]
+    ys = (cell // wp_sel).astype(jnp.float32)
+    xs = (cell % wp_sel).astype(jnp.float32)
+    # Cell -> original-image box: stride 2, cell 12 (upstream mapping).
+    boxes = jnp.stack(
+        [
+            jnp.floor((2.0 * xs + 1.0) / scale_sel),
+            jnp.floor((2.0 * ys + 1.0) / scale_sel),
+            jnp.floor((2.0 * xs + 12.0) / scale_sel),
+            jnp.floor((2.0 * ys + 12.0) / scale_sel),
+        ],
+        axis=-1,
+    )
+    feat_sel = jnp.take_along_axis(feats_all, idx[..., None], axis=1)
+    regs = pnet_reg_from_features(
+        params.pnet, feat_sel, dtype=dtype, precision=precision
+    )
 
-    pboxes = jnp.stack([pad_to(x, k_max) for x in all_boxes], axis=1)
-    pscores = jnp.stack([pad_to(x, k_max) for x in all_scores], axis=1)
-    pvalid = jnp.stack([pad_to(x, k_max) for x in all_valid], axis=1)
+    # Per-scale NMS 0.5: same-level pairs only (grouped), then cross-scale
+    # NMS 0.7 over everything.
     keep = _batched_nms(
-        pboxes.reshape(b * n_scales, k_max, 4),
-        pscores.reshape(b * n_scales, k_max),
-        pvalid.reshape(b * n_scales, k_max),
-        cfg.nms_thresholds[0],
+        boxes, scores, valid, cfg.nms_thresholds[0],
+        max_rounds=cfg.nms_max_rounds, groups=lvl_id,
+    )
+    valid = jnp.logical_and(valid, keep)
+    keep = _batched_nms(
+        boxes, scores, valid, cfg.nms_thresholds[1],
         max_rounds=cfg.nms_max_rounds,
-    ).reshape(b, n_scales, k_max)
-    all_valid = [
-        jnp.logical_and(v, keep[:, s, : v.shape[1]])
-        for s, v in enumerate(all_valid)
-    ]
-
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    scores = jnp.concatenate(all_scores, axis=1)
-    regs = jnp.concatenate(all_regs, axis=1)
-    valid = jnp.concatenate(all_valid, axis=1)
-
-    k_total = min(cfg.pnet_topk_total, boxes.shape[1])
-    scores, valid, boxes, regs = _topk_gather(scores, valid, k_total, boxes, regs)
-    # Cross-scale NMS 0.7.
-    keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[1],
-                        max_rounds=cfg.nms_max_rounds)
+    )
     valid = jnp.logical_and(valid, keep)
     # Stage-1 regression (upstream uses w = x2-x1 with NO +1 here) + square.
     regw = (boxes[..., 2] - boxes[..., 0])[..., None]
