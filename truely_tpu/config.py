@@ -29,6 +29,10 @@ class MTCNNConfig:
     # latency — real suppression chains are a handful of rounds deep, so 64
     # is semantically safe while keeping adversarial inputs O(rounds).
     nms_max_rounds: int = 64
+    # Run ungrouped NMS calls through the Pallas VMEM-resident kernel
+    # (ops/nms_pallas.py) instead of the XLA fixpoint.  Identical results
+    # (tested bit-equal on TPU); the grouped per-scale call always uses XLA.
+    use_pallas_nms: bool = False
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # top-K P-Net candidates kept per pyramid scale, after merging scales,
     # after R-Net, and after O-Net.

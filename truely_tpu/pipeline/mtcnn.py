@@ -54,7 +54,14 @@ def _normalize(x: jax.Array) -> jax.Array:
 
 
 def _batched_nms(boxes, scores, valid, iou_threshold, method="union",
-                 max_rounds=0, groups=None):
+                 max_rounds=0, groups=None, use_pallas=False):
+    if use_pallas and groups is None and jax.default_backend() == "tpu":
+        from truely_tpu.ops.nms_pallas import nms_masked_batch_pallas
+
+        return nms_masked_batch_pallas(
+            boxes, scores, valid, iou_threshold=iou_threshold, method=method,
+            max_rounds=max_rounds,
+        )
     return nms_masked_batch(
         boxes, scores, valid, iou_threshold=iou_threshold, method=method,
         max_rounds=max_rounds, groups=groups,
@@ -174,7 +181,7 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     valid = jnp.logical_and(valid, keep)
     keep = _batched_nms(
         boxes, scores, valid, cfg.nms_thresholds[1],
-        max_rounds=cfg.nms_max_rounds,
+        max_rounds=cfg.nms_max_rounds, use_pallas=cfg.use_pallas_nms,
     )
     valid = jnp.logical_and(valid, keep)
     # Stage-1 regression (upstream uses w = x2-x1 with NO +1 here) + square.
@@ -221,7 +228,8 @@ def detect_faces(
     valid = jnp.logical_and(valid, prob > cfg.thresholds[1])
     scores = prob
     keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[2],
-                        max_rounds=cfg.nms_max_rounds)
+                        max_rounds=cfg.nms_max_rounds,
+                        use_pallas=cfg.use_pallas_nms)
     valid = jnp.logical_and(valid, keep)
     boxes = rerec(bbreg(boxes, reg))
 
@@ -244,7 +252,8 @@ def detect_faces(
     landmarks = jnp.stack([pts_x, pts_y], axis=-1)  # (B, K, 5, 2)
     boxes = bbreg(boxes, reg)
     keep = _batched_nms(boxes, scores, valid, cfg.nms_thresholds[3],
-                        method="min", max_rounds=cfg.nms_max_rounds)
+                        method="min", max_rounds=cfg.nms_max_rounds,
+                        use_pallas=cfg.use_pallas_nms)
     valid = jnp.logical_and(valid, keep)
 
     return Detections(boxes=boxes, scores=scores, landmarks=landmarks, valid=valid)
