@@ -283,13 +283,15 @@ class Detector:
                         out.embedding, out.has_face, jnp.int32(seg.n_valid), state
                     )
                     state = res.state
-                    # Host sync for annotation.
-                    bounds = np.asarray(out.crop_bounds)
-                    has_face = np.asarray(res.has_face)
-                    annotated = np.asarray(res.annotated)
-                    flagged = np.asarray(res.flagged)
-                    sims = np.asarray(res.similarity)
-                    counters = np.asarray(res.counter)
+                    # ONE host fetch for everything the annotator needs: on
+                    # remote-TPU rigs each transfer is a full tunnel round
+                    # trip, so batching fetches dominates host-side latency.
+                    bounds, has_face, annotated, flagged, sims, counters = (
+                        jax.device_get(
+                            (out.crop_bounds, res.has_face, res.annotated,
+                             res.flagged, res.similarity, res.counter)
+                        )
+                    )
                     timings["device"] += time.perf_counter() - t1
 
                     flagged_total += int(np.sum(flagged[: seg.n_valid]))
@@ -373,12 +375,12 @@ class Detector:
                 out.embedding, out.has_face, jnp.int32(len(chunk)), state
             )
             state = res.state
-            bounds = np.asarray(out.crop_bounds)
-            has_face = np.asarray(res.has_face)
-            annotated = np.asarray(res.annotated)
-            flagged = np.asarray(res.flagged)
-            sims = np.asarray(res.similarity)
-            counters = np.asarray(res.counter)
+            bounds, has_face, annotated, flagged, sims, counters = (
+                jax.device_get(
+                    (out.crop_bounds, res.has_face, res.annotated,
+                     res.flagged, res.similarity, res.counter)
+                )
+            )
             flagged_total += int(np.sum(flagged[: len(chunk)]))
             for k, gi in enumerate(chunk):
                 records.append(

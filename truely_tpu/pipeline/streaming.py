@@ -132,12 +132,11 @@ class StreamScheduler:
         )
         self._states = res.state
 
-        bounds = np.asarray(out.crop_bounds).reshape(s, f, 4)
-        hf = np.asarray(res.has_face)
-        ann = np.asarray(res.annotated)
-        flg = np.asarray(res.flagged)
-        sim = np.asarray(res.similarity)
-        cnt = np.asarray(res.counter)
+        bounds, hf, ann, flg, sim, cnt = jax.device_get(
+            (out.crop_bounds, res.has_face, res.annotated, res.flagged,
+             res.similarity, res.counter)
+        )
+        bounds = bounds.reshape(s, f, 4)
         events: List[StreamEvent] = []
         for i in range(s):
             for j, frame_idx in enumerate(indices[i]):
