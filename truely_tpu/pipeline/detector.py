@@ -272,59 +272,67 @@ class Detector:
             total_processed = 0
             flagged_total = 0
 
+            def finish_segment(seg, out, res):
+                nonlocal flagged_total, total_processed, frame_count
+                t1 = time.perf_counter()
+                # ONE host fetch for everything the annotator needs: on
+                # remote-TPU rigs each transfer is a full tunnel round trip,
+                # so batching fetches dominates host-side latency.
+                bounds, has_face, annotated, flagged, sims, counters = (
+                    jax.device_get(
+                        (out.crop_bounds, res.has_face, res.annotated,
+                         res.flagged, res.similarity, res.counter)
+                    )
+                )
+                timings["device"] += time.perf_counter() - t1
+
+                flagged_total += int(np.sum(flagged[: seg.n_valid]))
+                total_processed += seg.n_valid
+                frame_count += len(seg.frames)
+
+                t2 = time.perf_counter()
+                ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
+                for gi, frame in zip(seg.frame_indices, seg.frames):
+                    k = ann.get(gi)
+                    if k is not None:
+                        records.append(
+                            FrameRecord(
+                                frame_index=gi,
+                                has_face=bool(has_face[k]),
+                                box=tuple(float(v) for v in bounds[k]),
+                                annotated=bool(annotated[k]),
+                                flagged=bool(flagged[k]),
+                                similarity=float(sims[k]),
+                                counter=int(counters[k]),
+                            )
+                        )
+                        if writer and annotated[k]:
+                            annotate_frame(
+                                frame, bounds[k],
+                                flagged=bool(flagged[k]), frame_index=gi,
+                            )
+                    if writer:
+                        writer.write(frame)
+                timings["encode"] += time.perf_counter() - t2
+
             try:
+                # One-deep software pipeline: the device (and the H2D upload)
+                # works on segment N while the host annotates/encodes N-1.
+                in_flight = None
                 t0 = time.perf_counter()
                 for seg in reader.segments(interval, cfg.frame_batch):
                     timings["decode"] += time.perf_counter() - t0
-
-                    t1 = time.perf_counter()
                     out = self._step(self.params, jnp.asarray(seg.sampled))
                     res = self._temporal(
                         out.embedding, out.has_face, jnp.int32(seg.n_valid), state
                     )
                     state = res.state
-                    # ONE host fetch for everything the annotator needs: on
-                    # remote-TPU rigs each transfer is a full tunnel round
-                    # trip, so batching fetches dominates host-side latency.
-                    bounds, has_face, annotated, flagged, sims, counters = (
-                        jax.device_get(
-                            (out.crop_bounds, res.has_face, res.annotated,
-                             res.flagged, res.similarity, res.counter)
-                        )
-                    )
-                    timings["device"] += time.perf_counter() - t1
-
-                    flagged_total += int(np.sum(flagged[: seg.n_valid]))
-                    total_processed += seg.n_valid
-                    frame_count += len(seg.frames)
-
-                    t2 = time.perf_counter()
-                    ann = {
-                        gi: k for k, gi in enumerate(seg.sampled_indices)
-                    }
-                    for gi, frame in zip(seg.frame_indices, seg.frames):
-                        k = ann.get(gi)
-                        if k is not None:
-                            records.append(
-                                FrameRecord(
-                                    frame_index=gi,
-                                    has_face=bool(has_face[k]),
-                                    box=tuple(float(v) for v in bounds[k]),
-                                    annotated=bool(annotated[k]),
-                                    flagged=bool(flagged[k]),
-                                    similarity=float(sims[k]),
-                                    counter=int(counters[k]),
-                                )
-                            )
-                            if writer and annotated[k]:
-                                annotate_frame(
-                                    frame, bounds[k],
-                                    flagged=bool(flagged[k]), frame_index=gi,
-                                )
-                        if writer:
-                            writer.write(frame)
-                    timings["encode"] += time.perf_counter() - t2
+                    if in_flight is not None:
+                        finish_segment(*in_flight)
+                    in_flight = (seg, out, res)
                     t0 = time.perf_counter()
+                if in_flight is not None:
+                    finish_segment(*in_flight)
             finally:
                 if writer:
                     writer.close()
