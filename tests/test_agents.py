@@ -12,7 +12,7 @@ import httpx
 import pytest
 
 from truely_tpu.agents.judge import (
-    _clean_json_text, judge_content, generate_search_query,
+    _clean_json_text, judge_content, generate_search_query, score_similarity,
 )
 from truely_tpu.agents.search import perform_search, TRUSTED_DOMAINS
 from truely_tpu.agents.transcribe import transcribe_audio
@@ -90,6 +90,15 @@ def test_generate_search_query_fallbacks():
         long_words, "key", transport=gemini_transport('{"query": ""}')
     )
     assert len(q) <= 350
+
+
+def test_score_similarity():
+    assert score_similarity("t", "a", "k",
+                            transport=gemini_transport('{"score": 0.75}')) == 0.75
+    assert score_similarity("t", "a", "k",
+                            transport=gemini_transport('{"score": 7}')) == 1.0
+    assert score_similarity("t", "a", "k",
+                            transport=gemini_transport("junk [")) == 0.0
 
 
 def test_perform_search_filtering():

@@ -104,6 +104,43 @@ def judge_content(
         }
 
 
+def score_similarity(
+    transcript: str,
+    article_snippet: str,
+    api_key: str,
+    *,
+    model: str = DEFAULT_MODEL,
+    temperature: float = 0.2,
+    transport: Optional[httpx.BaseTransport] = None,
+    timeout: float = 120.0,
+) -> float:
+    """0-1 corroboration score between a transcript and one article snippet.
+
+    The reference defines this prompt but never wires it up
+    (server/web/prompts.py:198-225, flagged in SURVEY.md §2.1 #7); here it
+    is a usable client with the same contract.  Returns 0.0 on parse
+    failure (defensive, like judge_content's stub verdict).
+    """
+    from truely_tpu.agents.prompts import SIMILARITY_PROMPT
+
+    prompt_text = (
+        f"{SIMILARITY_PROMPT}\n\nTRANSCRIPT:\n{transcript}\n\n"
+        f"ARTICLE:\n{article_snippet}"
+    )
+    try:
+        text = _generate(
+            prompt_text, api_key, model=model, temperature=temperature,
+            transport=transport, timeout=timeout,
+        )
+    except Exception as e:
+        raise RuntimeError(f"Gemini error: {e}") from e
+    try:
+        score = float(json.loads(_clean_json_text(text)).get("score", 0.0))
+    except (json.JSONDecodeError, TypeError, ValueError):
+        return 0.0
+    return min(max(score, 0.0), 1.0)
+
+
 def generate_search_query(
     transcript: str,
     api_key: str,
