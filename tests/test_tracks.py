@@ -144,6 +144,28 @@ def test_track_timeline_padding_inert():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_detector_analyze_frames_tracks_smoke():
+    """Integration: multi-face path runs end to end and aggregates."""
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    cfg = DetectorConfig(
+        frame_batch=4, max_tracks=2, compute_dtype="float32",
+        mtcnn=MTCNNConfig(
+            pnet_topk_per_scale=16, pnet_topk_total=16,
+            rnet_capacity=8, onet_capacity=4,
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+    )
+    det = Detector(cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(10, 64, 96, 3), dtype=np.uint8)
+    agg, per_track, state = det.analyze_frames_tracks(frames, fps=10)
+    assert 0 <= agg <= 100
+    assert per_track.shape == (2,)
+    assert agg == per_track.max(initial=0)
+
+
 def test_track_scores_aggregate():
     state = init_track_state(3, 4)
     state = state._replace(

@@ -62,7 +62,9 @@ def make_train_step(
     *,
     learning_rate: float = 1e-4,
     temperature: float = 0.1,
-    compute_dtype=jnp.bfloat16,
+    # f32 by default: the conv transpose rules reject mixed bf16/f32
+    # operand/cotangent pairs that preferred_element_type=f32 produces.
+    compute_dtype=jnp.float32,
     data_axis: str = "data",
 ):
     """Build (init_fn, step_fn).  With a mesh, batches are DP-sharded over
