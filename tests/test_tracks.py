@@ -166,6 +166,47 @@ def test_detector_analyze_frames_tracks_smoke():
     assert agg == per_track.max(initial=0)
 
 
+def test_analyze_video_multiface_smoke(tmp_path):
+    import cv2
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    path = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        writer.write(cv2.blur(
+            rng.integers(0, 256, size=(64, 96, 3), dtype=np.uint8), (9, 9)))
+    writer.release()
+
+    cfg = DetectorConfig(
+        frame_batch=4, max_tracks=2, compute_dtype="float32",
+        mtcnn=MTCNNConfig(
+            pnet_topk_per_scale=16, pnet_topk_total=16,
+            rnet_capacity=8, onet_capacity=4, thresholds=(0.5, 0.3, 0.2),
+        ),
+    )
+    det = Detector(cfg)
+    out = str(tmp_path / "out.mp4")
+    agg, per_track, _ = det.analyze_video_multiface(path, out)
+    assert 0 <= agg <= 100
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 10
+
+
+def test_draw_landmarks_overlay():
+    from truely_tpu.media.overlay import draw_landmarks
+
+    frame = np.zeros((50, 60, 3), np.uint8)
+    pts = np.array([[10.0, 10.0], [59.0, 49.0], [-5.0, 5.0], [100.0, 100.0]])
+    draw_landmarks(frame, pts)
+    assert frame[10, 10].any() and frame[49, 59].any()
+
+
 def test_track_scores_aggregate():
     state = init_track_state(3, 4)
     state = state._replace(

@@ -77,6 +77,9 @@ class DetectorConfig:
     # Run per-face tracks instead of first-face-only (BASELINE config 4).
     multi_face: bool = False
     max_tracks: int = 4
+    # Draw the 68-point landmark head's output on annotated frames
+    # (BASELINE config 2).
+    draw_landmarks: bool = False
 
     def sample_interval(self, fps: int) -> int:
         return max(1, int(fps / self.sample_hz))

@@ -14,6 +14,24 @@ import cv2
 
 RED = (0, 0, 255)
 GREEN = (0, 255, 0)
+CYAN = (255, 255, 0)
+
+
+def draw_landmarks(
+    frame: np.ndarray,
+    landmarks_xy: np.ndarray,
+    *,
+    color=CYAN,
+    radius: int = 1,
+) -> np.ndarray:
+    """Draw 68-point landmarks (image coordinates) as dots (BASELINE
+    config 2: landmark head + suspicious-frame rendering)."""
+    h, w = frame.shape[0], frame.shape[1]
+    for x, y in landmarks_xy:
+        xi, yi = int(x), int(y)
+        if 0 <= xi < w and 0 <= yi < h:
+            cv2.circle(frame, (xi, yi), radius, color, -1, cv2.LINE_AA)
+    return frame
 
 
 def annotate_frame(

@@ -278,12 +278,13 @@ class Detector:
                 # ONE host fetch for everything the annotator needs: on
                 # remote-TPU rigs each transfer is a full tunnel round trip,
                 # so batching fetches dominates host-side latency.
-                bounds, has_face, annotated, flagged, sims, counters = (
-                    jax.device_get(
-                        (out.crop_bounds, res.has_face, res.annotated,
+                fetch = (out.crop_bounds, res.has_face, res.annotated,
                          res.flagged, res.similarity, res.counter)
-                    )
-                )
+                if cfg.draw_landmarks:
+                    fetch = fetch + (out.landmarks68,)
+                got = jax.device_get(fetch)
+                bounds, has_face, annotated, flagged, sims, counters = got[:6]
+                lmks = got[6] if cfg.draw_landmarks else None
                 timings["device"] += time.perf_counter() - t1
 
                 flagged_total += int(np.sum(flagged[: seg.n_valid]))
@@ -311,6 +312,14 @@ class Detector:
                                 frame, bounds[k],
                                 flagged=bool(flagged[k]), frame_index=gi,
                             )
+                            if lmks is not None:
+                                from truely_tpu.media.overlay import draw_landmarks
+
+                                x0, y0, x1, y1 = bounds[k]
+                                pts = lmks[k] * np.asarray(
+                                    [max(x1 - x0, 1), max(y1 - y0, 1)]
+                                ) + np.asarray([x0, y0])
+                                draw_landmarks(frame, pts)
                     if writer:
                         writer.write(frame)
                 timings["encode"] += time.perf_counter() - t2
@@ -421,14 +430,8 @@ class Detector:
             records=records,
         )
 
-    def analyze_frames_tracks(self, frames: np.ndarray, fps: int):
-        """Multi-face analysis of an in-memory frame array (BASELINE
-        config 4): per-track consistency scoring; the aggregate fake score
-        is the max over tracks.  Returns (aggregate_score, per_track_scores,
-        final TrackState)."""
-        from truely_tpu.pipeline.tracks import (
-            init_track_state, track_timeline, track_scores,
-        )
+    def _ensure_track_jits(self) -> None:
+        from truely_tpu.pipeline.tracks import track_timeline, track_scores
 
         cfg = self.config
         if not hasattr(self, "_mstep"):
@@ -451,6 +454,16 @@ class Detector:
                     long_video_seconds=cfg.long_video_seconds,
                 )
             )
+
+    def analyze_frames_tracks(self, frames: np.ndarray, fps: int):
+        """Multi-face analysis of an in-memory frame array (BASELINE
+        config 4): per-track consistency scoring; the aggregate fake score
+        is the max over tracks.  Returns (aggregate_score, per_track_scores,
+        final TrackState)."""
+        from truely_tpu.pipeline.tracks import init_track_state
+
+        cfg = self.config
+        self._ensure_track_jits()
         interval = cfg.sample_interval(fps)
         n = frames.shape[0]
         sampled_idx = list(range(0, n, interval))
@@ -468,6 +481,65 @@ class Detector:
             state, jnp.int32(n), jnp.int32(fps)
         )
         per_track = np.asarray(per_track)
+        return int(per_track.max(initial=0)), per_track, state
+
+    def analyze_video_multiface(
+        self,
+        input_path: str,
+        output_path: Optional[str] = None,
+    ):
+        """Multi-face video analysis (BASELINE config 4): every tracked face
+        gets its own consistency scoring and red/green annotation; the
+        aggregate fake score is the max over tracks.
+
+        Returns (aggregate_score, per_track_scores, final TrackState).
+        """
+        from truely_tpu.pipeline.tracks import init_track_state
+
+        cfg = self.config
+        self._ensure_track_jits()
+        with VideoReader(input_path, rgb=not cfg.reference_compat) as reader:
+            meta = reader.meta
+            interval = cfg.sample_interval(meta.fps)
+            writer = (
+                VideoWriter(output_path, meta.fps, meta.width, meta.height)
+                if output_path
+                else None
+            )
+            state = init_track_state(cfg.max_tracks, 512)
+            frame_count = 0
+            try:
+                for seg in reader.segments(interval, cfg.frame_batch):
+                    boxes, valid, emb = self._mstep(
+                        self.params, jnp.asarray(seg.sampled)
+                    )
+                    state, outs = self._track_fold(
+                        state, boxes, valid, emb, jnp.int32(seg.n_valid)
+                    )
+                    frame_count += len(seg.frames)
+                    if writer is None:
+                        continue
+                    t_boxes, t_upd, t_flag = jax.device_get(
+                        (outs.track_box, outs.track_updated, outs.track_flagged)
+                    )
+                    ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
+                    for gi, frame in zip(seg.frame_indices, seg.frames):
+                        k = ann.get(gi)
+                        if k is not None:
+                            for t in range(cfg.max_tracks):
+                                if t_upd[k, t]:
+                                    annotate_frame(
+                                        frame, t_boxes[k, t],
+                                        flagged=bool(t_flag[k, t]),
+                                        frame_index=gi,
+                                    )
+                        writer.write(frame)
+            finally:
+                if writer:
+                    writer.close()
+        per_track = np.asarray(
+            self._track_scores(state, jnp.int32(frame_count), jnp.int32(meta.fps))
+        )
         return int(per_track.max(initial=0)), per_track, state
 
     def run(self, video_path_one: str, video_path_two: str) -> int:

@@ -40,6 +40,7 @@ class TrackFrameOut(NamedTuple):
     track_sim: jax.Array      # (T,) f32
     track_box: jax.Array      # (T, 4) f32
     track_active: jax.Array   # (T,) bool
+    track_updated: jax.Array  # (T,) bool — matched w/ previous embedding
 
 
 def init_track_state(max_tracks: int, dim: int) -> TrackState:
@@ -191,6 +192,7 @@ def track_step(
         track_sim=sim,
         track_box=box,
         track_active=active,
+        track_updated=update,
     )
     return new_state, out
 
