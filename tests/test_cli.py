@@ -1,0 +1,36 @@
+"""CLI smoke tests (the SURVEY.md §7 minimum end-to-end slice driver)."""
+
+import json
+
+import numpy as np
+import cv2
+import pytest
+
+from truely_tpu.cli import main
+
+
+def test_analyze_cli(tmp_path, capsys, monkeypatch):
+    path = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        writer.write(cv2.blur(
+            rng.integers(0, 256, size=(64, 96, 3), dtype=np.uint8), (9, 9)))
+    writer.release()
+    out = str(tmp_path / "out.mp4")
+
+    rc = main(["analyze", path, "-o", out, "--batch", "4", "--compact"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    payload = json.loads(captured.out.strip().splitlines()[-1])
+    assert 0 <= payload["fakeScore"] <= 100
+    assert payload["frameCount"] == 8
+    assert payload["outputPath"] == out
+    assert "timings" in payload
+    # seeded-weights warning went to stderr
+    assert "seeded random weights" in captured.err
+
+
+def test_cli_requires_command():
+    with pytest.raises(SystemExit):
+        main([])

@@ -326,6 +326,33 @@ def test_static_and_health(server):
     assert payload["status"] == "ok"
 
 
+def test_invalid_json_body(server):
+    req = Request(method="POST", path="/analyze-video", query={}, body=b"{not json")
+    resp = server.router.dispatch(req)
+    assert resp.status == 400
+
+
+def test_unknown_route_404(server):
+    resp, payload = call(server, "GET", "/no-such-endpoint")
+    assert resp.status == 404
+
+
+def test_cors_preflight_over_socket(server):
+    httpd = make_server(server.router, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    serve_forever_in_thread(httpd)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze-video", method="OPTIONS"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+            assert r.headers["Access-Control-Allow-Methods"] == "*"
+    finally:
+        httpd.shutdown()
+
+
 # ---- result store ----------------------------------------------------------
 
 
