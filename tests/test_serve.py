@@ -464,6 +464,77 @@ def test_select_best_format():
     assert select_best_format([], 360) is None
 
 
+def test_download_video_with_fake_runner(tmp_path, monkeypatch):
+    from truely_tpu.media import acquire as acq
+
+    created = {}
+
+    def runner(cmd, timeout):
+        # yt-dlp invocation shape: flags ... -f <fmt> --merge-output-format
+        # mp4 -o <path> <url>
+        assert cmd[0] == "yt-dlp"
+        out = cmd[cmd.index("-o") + 1]
+        with open(out, "wb") as f:
+            f.write(b"video-bytes")
+        created["path"] = out
+        created["fmt"] = cmd[cmd.index("-f") + 1]
+        return subprocess.CompletedProcess(cmd, 0, stdout="", stderr="")
+
+    path = acq.download_video(
+        "https://youtu.be/abc", "720p", runner=runner, validate=lambda p: True
+    )
+    assert path == created["path"]
+    assert created["fmt"] == "best[height<=720]"
+    assert os.path.exists(path)
+    os.unlink(path)
+
+
+def test_download_video_timeout_maps_to_504():
+    from truely_tpu.media import acquire as acq
+
+    def runner(cmd, timeout):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    with pytest.raises(AcquisitionError) as exc:
+        acq.download_video("https://youtu.be/abc", runner=runner)
+    assert exc.value.status == 504
+
+
+def test_download_combined_audio_failure_degrades(tmp_path):
+    from truely_tpu.media import acquire as acq
+
+    def runner(cmd, timeout):
+        out = cmd[cmd.index("-o") + 1]
+        if "-x" in cmd:  # audio leg fails
+            raise subprocess.CalledProcessError(1, cmd, stderr="no audio")
+        with open(out, "wb") as f:
+            f.write(b"video-bytes")
+        return subprocess.CompletedProcess(cmd, 0, stdout="", stderr="")
+
+    dl = acq.download_combined("https://youtu.be/abc", runner=runner)
+    assert dl.video_path and os.path.exists(dl.video_path)
+    assert dl.audio_path is None
+    os.unlink(dl.video_path)
+
+
+def test_download_audio_format_fallback(tmp_path):
+    from truely_tpu.media import acquire as acq
+
+    seen = {}
+
+    def runner(cmd, timeout):
+        out = cmd[cmd.index("-o") + 1]
+        seen["fmt"] = cmd[cmd.index("--audio-format") + 1]
+        with open(out, "wb") as f:
+            f.write(b"audio")
+        return subprocess.CompletedProcess(cmd, 0, stdout="", stderr="")
+
+    path = acq.download_audio("https://youtu.be/abc", "weird", runner=runner)
+    assert seen["fmt"] == "mp3"  # unsupported format falls back
+    assert path.endswith(".mp3")
+    os.unlink(path)
+
+
 def test_get_available_formats_with_fake_runner():
     def runner(cmd, timeout):
         assert cmd[:2] == ["yt-dlp", "--dump-json"]

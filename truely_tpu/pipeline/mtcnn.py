@@ -71,10 +71,8 @@ def _batched_nms(boxes, scores, valid, iou_threshold, method="union",
 def _topk_gather(scores, valid, k_out, *arrays):
     """Per-frame top-k by masked score. Returns (scores, valid, *gathered).
 
-    All payload arrays are fused into ONE concatenated gather: separate
-    take_along_axis calls sharing the same top-k indices trip an XLA:TPU
-    pathology here (multi-minute compiles, a 40 ms kernel for what is
-    otherwise 0.04 ms — measured at 1080p batch 8).
+    Payload arrays are fused into ONE concatenated gather so the selected
+    rows move in a single pass regardless of how many tensors ride along.
     """
     masked = jnp.where(valid, scores, NEG_INF)
     vals, idx = jax.lax.top_k(masked, k_out)  # (B, k_out)
