@@ -321,7 +321,11 @@ class Detector:
                                 ) + np.asarray([x0, y0])
                                 draw_landmarks(frame, pts)
                     if writer:
-                        writer.write(frame)
+                        # cv2 encodes BGR; corrected mode decodes RGB.
+                        writer.write(
+                            frame if cfg.reference_compat
+                            else np.ascontiguousarray(frame[..., ::-1])
+                        )
                 timings["encode"] += time.perf_counter() - t2
 
             try:
