@@ -326,6 +326,22 @@ def test_static_and_health(server):
     assert payload["status"] == "ok"
 
 
+def test_metrics_endpoint(server, tmp_path):
+    resp, payload = call(server, "GET", "/metrics")
+    assert resp.status == 200
+    assert payload["analyses_total"] == 0
+    path = make_video(tmp_path)
+    call(server, "POST", "/analyze-video", body={"videoPath": path})
+    call(server, "GET", "/download-video",
+         query={"video_url": "https://youtu.be/abc"})
+    resp, payload = call(server, "GET", "/metrics")
+    assert payload["analyses_total"] == 1
+    assert payload["analyses_failed"] == 0
+    assert payload["downloads_total"] == 1
+    assert payload["last_analysis_seconds"] is not None
+    assert payload["uptime_seconds"] >= 0
+
+
 def test_invalid_json_body(server):
     req = Request(method="POST", path="/analyze-video", query={}, body=b"{not json")
     resp = server.router.dispatch(req)

@@ -93,7 +93,26 @@ class TruelyServer:
         self._jinja = jinja2.Environment(
             loader=jinja2.FileSystemLoader(_TEMPLATES_DIR), autoescape=True
         )
+        self._metrics_lock = threading.Lock()
+        self.metrics: Dict[str, Any] = {
+            "started_at": time.time(),
+            "analyses_total": 0,
+            "analyses_failed": 0,
+            "downloads_total": 0,
+            "last_analysis_seconds": None,
+            "analysis_seconds_total": 0.0,
+        }
         self.router = self._build_router()
+
+    def _record_analysis(self, seconds: float, ok: bool) -> None:
+        with self._metrics_lock:
+            self.metrics["analyses_total"] += 1
+            if not ok:
+                self.metrics["analyses_failed"] += 1
+            self.metrics["last_analysis_seconds"] = round(seconds, 3)
+            self.metrics["analysis_seconds_total"] = round(
+                self.metrics["analysis_seconds_total"] + seconds, 3
+            )
 
     # ------------------------------------------------------------------
 
@@ -113,8 +132,15 @@ class TruelyServer:
     def _run_analysis(self, video_path: str, output_path: str) -> int:
         """Serialized access to the device for the visual pipeline."""
         detector = self.detector
-        with self._detector_lock:
-            return detector.run(video_path, output_path)
+        t0 = time.time()
+        ok = False
+        try:
+            with self._detector_lock:
+                score = detector.run(video_path, output_path)
+            ok = True
+            return score
+        finally:
+            self._record_analysis(time.time() - t0, ok)
 
     # ------------------------------------------------------------------
 
@@ -131,6 +157,7 @@ class TruelyServer:
         r.add("POST", "/analyze-combined", self.analyze_combined)
         r.add("GET", "/static/{filename}", self.static_file)
         r.add("GET", "/health", self.health)
+        r.add("GET", "/metrics", self.get_metrics)
         return r
 
     # ---- report / media ------------------------------------------------
@@ -189,6 +216,13 @@ class TruelyServer:
     def health(self, req: Request) -> Response:
         return Response.json({"status": "ok", "results": len(self.store)})
 
+    def get_metrics(self, req: Request) -> Response:
+        with self._metrics_lock:
+            payload = dict(self.metrics)
+        payload["results_stored"] = len(self.store)
+        payload["uptime_seconds"] = round(time.time() - payload["started_at"], 1)
+        return Response.json(payload)
+
     # ---- acquisition ----------------------------------------------------
 
     def download_video(self, req: Request) -> Response:
@@ -202,6 +236,8 @@ class TruelyServer:
             )
         except acquire.AcquisitionError as e:
             return Response.json({"error": str(e)}, e.status)
+        with self._metrics_lock:
+            self.metrics["downloads_total"] += 1
         return Response.json({"videoPath": path})
 
     def download_audio(self, req: Request) -> Response:
