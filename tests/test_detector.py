@@ -100,6 +100,29 @@ def test_run_missing_file(detector, tmp_path):
     assert detector.run(str(tmp_path / "nope.mp4"), str(tmp_path / "o.mp4")) == 0
 
 
+def test_empty_frames_scores_zero(detector):
+    r = detector.analyze_frames(np.zeros((0, 64, 96, 3), np.uint8), fps=10)
+    assert r.fake_score == 0
+    assert r.total_processed == 0
+
+
+def test_single_frame_video(detector):
+    rng = np.random.default_rng(0)
+    r = detector.analyze_frames(
+        rng.integers(0, 256, (1, 64, 96, 3), dtype=np.uint8), fps=10
+    )
+    # one frame: no predecessor, so never annotated/flagged
+    assert r.fake_score == 0
+    assert r.flagged_count == 0
+
+
+def test_run_invalid_video_file(detector, tmp_path):
+    bad = str(tmp_path / "bad.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a video")
+    assert detector.run(bad, str(tmp_path / "o.mp4")) == 0
+
+
 def test_batch_padding_invariance(detector):
     """Score must not depend on how the timeline splits into device batches."""
     rng = np.random.default_rng(1)

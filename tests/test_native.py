@@ -1,0 +1,76 @@
+"""Native framepack extension vs numpy fallback equivalence."""
+
+import numpy as np
+import pytest
+
+from truely_tpu.media import native
+
+
+def _numpy_impls():
+    """Access the pure-numpy fallbacks regardless of whether the native
+    extension is importable, by calling through with _ext disabled."""
+    class Fallback:
+        def __init__(self):
+            self._saved = native._ext
+
+        def __enter__(self):
+            native._ext = None
+            return native
+
+        def __exit__(self, *exc):
+            native._ext = self._saved
+
+    return Fallback()
+
+
+def test_pack_frames_matches_fallback():
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (6, 7, 3), dtype=np.uint8) for _ in range(3)]
+    offsets = [2, 0, 3]
+    a = np.zeros((4, 6, 7, 3), np.uint8)
+    b = np.zeros((4, 6, 7, 3), np.uint8)
+    native.pack_frames(a, frames, offsets)
+    with _numpy_impls() as fallback:
+        fallback.pack_frames(b, frames, offsets)
+    np.testing.assert_array_equal(a, b)
+    assert (a[1] == 0).all()
+
+
+@pytest.mark.parametrize("box", [
+    (2, 2, 8, 7),         # interior
+    (-3, -3, 5, 5),       # clipped top-left
+    (8, 8, 30, 30),       # clipped bottom-right
+])
+def test_draw_rect_matches_fallback(box):
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    a, b = base.copy(), base.copy()
+    native.draw_rect(a, *box, color_bgr=(10, 200, 30), thickness=2)
+    with _numpy_impls() as fallback:
+        fallback.draw_rect(b, *box, color_bgr=(10, 200, 30), thickness=2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bgr_to_rgb_matches_fallback():
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    a, b = base.copy(), base.copy()
+    native.bgr_to_rgb(a)
+    with _numpy_impls() as fallback:
+        fallback.bgr_to_rgb(b)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, base[..., ::-1])
+
+
+@pytest.mark.skipif(not native.HAVE_NATIVE, reason="extension not built")
+def test_native_extension_is_loaded():
+    assert native.HAVE_NATIVE
+
+
+def test_pack_frames_bad_offset_raises():
+    if not native.HAVE_NATIVE:
+        pytest.skip("native-only validation")
+    frames = [np.zeros((2, 2, 3), np.uint8)]
+    dst = np.zeros((1, 2, 2, 3), np.uint8)
+    with pytest.raises(ValueError):
+        native.pack_frames(dst, frames, [5])

@@ -108,7 +108,11 @@ class VideoReader:
                     n_valid = len(sampled)
                     stack = np.zeros((batch, h, w, 3), np.uint8)
                     if n_valid:
-                        stack[:n_valid] = np.stack(sampled)
+                        # GIL-released native memcpy into the staging buffer
+                        # (numpy fallback when the extension isn't built).
+                        from truely_tpu.media import native
+
+                        native.pack_frames(stack, sampled, list(range(n_valid)))
                     q.put(
                         Segment(
                             frames=list(cur_frames),

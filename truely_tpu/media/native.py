@@ -7,7 +7,7 @@ identical semantics (tested against each other in test_native.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

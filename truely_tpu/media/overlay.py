@@ -2,15 +2,21 @@
 
 Reproduces the drawing of reference server/model.py:66-74: a red box with
 "AI Detected - Frame N" (top-left, scale 1) once the run-length threshold
-trips, else a green box with "Real Frame" above the face.  Host-side numpy/
-cv2 — drawing happens only on sampled frames on the way to the encoder and
-is off the TPU hot path by design (SURVEY.md §2.2 N4).
+trips, else a green box with "Real Frame" above the face.  Drawing happens
+only on sampled frames on the way to the encoder and is off the TPU hot
+path by design (SURVEY.md §2.2 N4); rectangles come from cv2 when present
+(pixel-identical look to the reference) and the native framepack extension
+otherwise.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import cv2
+
+try:
+    import cv2
+except ImportError:  # headless minimal installs: native rectangles, no text
+    cv2 = None
 
 RED = (0, 0, 255)
 GREEN = (0, 255, 0)
@@ -34,6 +40,15 @@ def draw_landmarks(
     return frame
 
 
+def _rect(frame, x1, y1, x2, y2, color):
+    if cv2 is not None:
+        cv2.rectangle(frame, (x1, y1), (x2, y2), color, 2)
+    else:
+        from truely_tpu.media import native
+
+        native.draw_rect(frame, x1, y1, x2, y2, color, thickness=2)
+
+
 def annotate_frame(
     frame: np.ndarray,
     box_xyxy,
@@ -44,15 +59,17 @@ def annotate_frame(
     """Draw in place on a BGR frame and return it."""
     x1, y1, x2, y2 = [int(v) for v in box_xyxy]
     if flagged:
-        cv2.rectangle(frame, (x1, y1), (x2, y2), RED, 2)
-        cv2.putText(
-            frame, f"AI Detected - Frame {frame_index}", (10, 30),
-            cv2.FONT_HERSHEY_SIMPLEX, 1, RED, 2, cv2.LINE_AA,
-        )
+        _rect(frame, x1, y1, x2, y2, RED)
+        if cv2 is not None:
+            cv2.putText(
+                frame, f"AI Detected - Frame {frame_index}", (10, 30),
+                cv2.FONT_HERSHEY_SIMPLEX, 1, RED, 2, cv2.LINE_AA,
+            )
     else:
-        cv2.rectangle(frame, (x1, y1), (x2, y2), GREEN, 2)
-        cv2.putText(
-            frame, "Real Frame", (x1, y1 - 10),
-            cv2.FONT_HERSHEY_SIMPLEX, 0.5, GREEN, 2, cv2.LINE_AA,
-        )
+        _rect(frame, x1, y1, x2, y2, GREEN)
+        if cv2 is not None:
+            cv2.putText(
+                frame, "Real Frame", (x1, y1 - 10),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, GREEN, 2, cv2.LINE_AA,
+            )
     return frame

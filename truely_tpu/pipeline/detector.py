@@ -21,7 +21,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -39,7 +39,7 @@ from truely_tpu.models import (
 )
 from truely_tpu.ops.resize import crop_resize_bilinear
 from truely_tpu.ops.temporal import (
-    TemporalState, init_temporal_state, temporal_consistency, weighted_score,
+    init_temporal_state, temporal_consistency, weighted_score,
 )
 from truely_tpu.pipeline.mtcnn import MTCNNParams, detect_faces, select_primary_face  # noqa: E501
 
@@ -548,12 +548,19 @@ class Detector:
 
     def run(self, video_path_one: str, video_path_two: str) -> int:
         """Drop-in equivalent of reference server/model.py ``run()``:
-        returns the 0-100 fake score and writes the annotated video."""
+        returns the 0-100 fake score and writes the annotated video.
+        With ``config.multi_face`` the score aggregates over face tracks
+        (max of per-track scores) instead of first-face-only."""
         import os
 
         if not os.path.exists(video_path_one) or os.path.getsize(video_path_one) == 0:
             return 0
         try:
+            if self.config.multi_face:
+                score, _, _ = self.analyze_video_multiface(
+                    video_path_one, video_path_two
+                )
+                return score
             return self.analyze_video(video_path_one, video_path_two).fake_score
         except IOError:
             return 0

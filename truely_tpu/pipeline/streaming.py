@@ -16,7 +16,7 @@ with scan state carried across batches.
 from __future__ import annotations
 
 import collections
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Deque, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from truely_tpu.config import DetectorConfig
 from truely_tpu.ops.temporal import (
-    TemporalState, init_temporal_state, temporal_consistency, weighted_score,
+    init_temporal_state, temporal_consistency, weighted_score,
 )
 
 

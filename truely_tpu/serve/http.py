@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import logging
 import mimetypes
-import os
 import re
 import threading
 from dataclasses import dataclass, field
