@@ -197,6 +197,27 @@ def test_cascade_matches_oracle(seed):
             points[b, order_g], ep[order_e], atol=0.05, rtol=1e-4)
 
 
+def test_cascade_per_frame_independence():
+    """Batched results for a frame must not depend on its batch neighbours
+    (the whole cascade is per-frame work until the temporal scan)."""
+    cfg = MTCNNConfig(thresholds=(0.92, 0.55, 0.30), nms_max_rounds=0)
+    _, params = make_nets_and_params(0)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(3, 72, 96, 3), dtype=np.uint8)
+
+    full = detect_faces(params, jnp.asarray(frames), cfg, dtype=None, precision=HIGH)
+    for b in range(3):
+        solo = detect_faces(
+            params, jnp.asarray(frames[b : b + 1]), cfg, dtype=None, precision=HIGH
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.valid[b]), np.asarray(solo.valid[0]))
+        np.testing.assert_allclose(
+            np.asarray(full.boxes[b]), np.asarray(solo.boxes[0]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(full.scores[b]), np.asarray(solo.scores[0]), atol=1e-5)
+
+
 def test_cascade_no_candidates():
     """Thresholds no random net can reach -> zero valid detections."""
     cfg = MTCNNConfig(thresholds=(0.999999, 0.999999, 0.999999))
