@@ -326,6 +326,26 @@ def test_static_and_health(server):
     assert payload["status"] == "ok"
 
 
+class FailingDetector:
+    def run(self, video_in, video_out):
+        raise RuntimeError("injected device failure")
+
+
+def test_analysis_fault_surfaces_500_and_metrics(tmp_path):
+    server = TruelyServer(
+        detector=FailingDetector(), agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    path = make_video(tmp_path)
+    resp, payload = call(server, "POST", "/analyze-video", body={"videoPath": path})
+    assert resp.status == 500
+    assert "injected device failure" in payload["error"]
+    _, metrics = call(server, "GET", "/metrics")
+    assert metrics["analyses_total"] == 1
+    assert metrics["analyses_failed"] == 1
+
+
 def test_metrics_endpoint(server, tmp_path):
     resp, payload = call(server, "GET", "/metrics")
     assert resp.status == 200
@@ -367,6 +387,51 @@ def test_cors_preflight_over_socket(server):
             assert r.headers["Access-Control-Allow-Methods"] == "*"
     finally:
         httpd.shutdown()
+
+
+def test_async_job_lifecycle(server, tmp_path):
+    path = make_video(tmp_path)
+    resp, payload = call(server, "POST", "/jobs/analyze-video",
+                         body={"videoPath": path})
+    assert resp.status == 202
+    job_id = payload["jobId"]
+    job = server.jobs.wait(job_id, timeout=30)
+    assert job.status == "done"
+    resp, payload = call(server, "GET", f"/jobs/{job_id}")
+    assert resp.status == 200
+    assert payload["status"] == "done"
+    assert payload["fakeScore"] == 42
+    assert "resultId" in payload
+    # result visible through the normal store-backed endpoints
+    resp, _ = call(server, "GET", f"/video/{payload['resultId']}")
+    assert resp.status == 200
+
+
+def test_async_job_validation_is_synchronous(server):
+    resp, payload = call(server, "POST", "/jobs/analyze-video",
+                         body={"videoPath": "/nope.mp4"})
+    assert resp.status == 400
+
+
+def test_async_job_failure_reported(tmp_path):
+    server = TruelyServer(
+        detector=FailingDetector(), agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    path = make_video(tmp_path)
+    resp, payload = call(server, "POST", "/jobs/analyze-video",
+                         body={"videoPath": path})
+    job = server.jobs.wait(payload["jobId"], timeout=30)
+    assert job.status == "failed"
+    resp, payload = call(server, "GET", f"/jobs/{job.job_id}")
+    assert payload["status"] == "failed"
+    assert "injected device failure" in payload["error"]
+
+
+def test_async_job_unknown_404(server):
+    resp, _ = call(server, "GET", "/jobs/deadbeef")
+    assert resp.status == 404
 
 
 # ---- result store ----------------------------------------------------------

@@ -23,6 +23,7 @@ import jinja2
 from truely_tpu.config import ServerConfig
 from truely_tpu.media import acquire
 from truely_tpu.serve.http import Request, Response, Router, make_server
+from truely_tpu.serve.jobs import JobRunner
 from truely_tpu.serve.results import ResultStore
 
 logger = logging.getLogger(__name__)
@@ -102,6 +103,7 @@ class TruelyServer:
             "last_analysis_seconds": None,
             "analysis_seconds_total": 0.0,
         }
+        self.jobs = JobRunner(ttl_seconds=self.config.result_ttl_seconds)
         self.router = self._build_router()
 
     def _record_analysis(self, seconds: float, ok: bool) -> None:
@@ -158,6 +160,11 @@ class TruelyServer:
         r.add("GET", "/static/{filename}", self.static_file)
         r.add("GET", "/health", self.health)
         r.add("GET", "/metrics", self.get_metrics)
+        # Additive async surface (the sync endpoints above keep the
+        # reference's blocking contract).
+        r.add("POST", "/jobs/analyze-video", self.submit_analyze_video)
+        r.add("POST", "/jobs/analyze-combined", self.submit_analyze_combined)
+        r.add("GET", "/jobs/{job_id}", self.get_job)
         return r
 
     # ---- report / media ------------------------------------------------
@@ -512,6 +519,43 @@ class TruelyServer:
                 for s in news_evidence[:3]
             ]
         return Response.json(response)
+
+    # ---- async jobs -------------------------------------------------------
+
+    def _submit_job(self, req: Request, kind: str, handler) -> Response:
+        """Validate synchronously (4xx now), run the sync handler on the
+        job worker, surface its JSON as the job result."""
+        import json as _json
+
+        try:
+            data = req.json() or {}
+        except ValueError:
+            return Response.json({"error": "Invalid JSON body"}, 400)
+        invalid = self._validate_media_path(data.get("videoPath"), "video")
+        if invalid:
+            return invalid
+
+        def run_job():
+            resp = handler(req)
+            payload = _json.loads(resp.content)
+            if resp.status != 200:
+                raise RuntimeError(payload.get("error", f"HTTP {resp.status}"))
+            return payload
+
+        job = self.jobs.submit(kind, run_job)
+        return Response.json({"jobId": job.job_id, "status": job.status}, 202)
+
+    def submit_analyze_video(self, req: Request) -> Response:
+        return self._submit_job(req, "analyze-video", self.analyze_video)
+
+    def submit_analyze_combined(self, req: Request) -> Response:
+        return self._submit_job(req, "analyze-combined", self.analyze_combined)
+
+    def get_job(self, req: Request) -> Response:
+        job = self.jobs.get(req.path_params["job_id"])
+        if job is None:
+            return Response.error("Job not found or has expired", 404)
+        return Response.json(job.to_json())
 
     # ------------------------------------------------------------------
 
