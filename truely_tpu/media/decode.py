@@ -74,6 +74,10 @@ class VideoReader:
 
     # ------------------------------------------------------------------
 
+    def frames(self) -> Iterator[Tuple[int, np.ndarray]]:
+        """Iterate (frame_index, frame) pairs to EOF."""
+        return self._decode_all()
+
     def _decode_all(self) -> Iterator[Tuple[int, np.ndarray]]:
         idx = 0
         while True:

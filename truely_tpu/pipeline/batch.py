@@ -59,11 +59,11 @@ def analyze_videos(
             detector, n_streams=len(paths),
             frames_per_stream=frames_per_video, fps=metas[0].fps,
         )
-        # Per-video sampling interval (fps may differ between videos).
+        # Per-video sampling interval (fps may differ between videos);
+        # sampling happens here via push_sampled, not in the scheduler.
         intervals = [detector.config.sample_interval(m.fps) for m in metas]
-        sched.sample_interval = 1  # scheduler-side sampling disabled; we sample here
 
-        iters = [r._decode_all() for r in readers]
+        iters = [r.frames() for r in readers]
         done = [False] * len(paths)
         frame_counts = [0] * len(paths)
         flags: Dict[int, List[int]] = {i: [] for i in range(len(paths))}
@@ -85,9 +85,9 @@ def analyze_videos(
                     continue
                 frame_counts[i] += 1
                 if idx % intervals[i] == 0:
-                    sched._queues[i].append((idx, frame))
-                    sched.stats[i].pending += 1
-                sched.stats[i].frames_seen = frame_counts[i]
+                    sched.push_sampled(i, frame, idx, frame_counts[i])
+                else:
+                    sched.stats[i].frames_seen = frame_counts[i]
             if sched.pending() >= capacity:
                 drain_events(sched.step())
         drain_events(sched.drain())
@@ -95,7 +95,7 @@ def analyze_videos(
         results = []
         for i, path in enumerate(paths):
             st = sched.stats[i]
-            counter = int(np.asarray(sched._states.counter[i]))
+            counter = sched.stream_counter(i)
             score = int(
                 weighted_score(
                     jnp.int32(st.flagged_count),

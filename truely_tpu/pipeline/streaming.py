@@ -95,6 +95,21 @@ class StreamScheduler:
             st.pending += 1
         st.frames_seen += 1
 
+    def push_sampled(self, stream_id: int, frame: np.ndarray,
+                     frame_index: int, frames_seen: int) -> None:
+        """Feed an already-sampled frame (callers that apply their own
+        per-stream sampling law, e.g. batch video analysis where fps
+        differs between videos).  ``frames_seen`` keeps the rolling-score
+        denominator honest."""
+        st = self.stats[stream_id]
+        self._queues[stream_id].append((frame_index, frame))
+        st.pending += 1
+        st.frames_seen = frames_seen
+
+    def stream_counter(self, stream_id: int) -> int:
+        """Current run-length counter of one stream (host fetch)."""
+        return int(np.asarray(self._states.counter[stream_id]))
+
     def pending(self) -> int:
         return sum(len(q) for q in self._queues)
 
@@ -171,11 +186,7 @@ class StreamScheduler:
         st = self.stats[stream_id]
         if st.processed == 0:
             return 0
-        counter = int(
-            np.asarray(
-                jax.tree_util.tree_map(lambda x: x[stream_id], self._states).counter
-            )
-        )
+        counter = self.stream_counter(stream_id)
         return int(
             weighted_score(
                 jnp.int32(st.flagged_count),
