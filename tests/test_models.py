@@ -143,3 +143,21 @@ def test_convert_missing_key_raises():
     del sd["conv1.weight"]
     with pytest.raises(KeyError):
         convert_torch_state_dict(init_rnet(jax.random.PRNGKey(0)), sd)
+
+
+def test_fold_batchnorm_equivalence():
+    from truely_tpu.models.weights import fold_batchnorm
+
+    net = randomize(torch_refs.InceptionResnetV1(), 7)
+    params = convert_torch_state_dict(
+        init_inception_resnet_v1(jax.random.PRNGKey(0)), net.state_dict())
+    folded = fold_batchnorm(params)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (2, 80, 80, 3)), jnp.float32)
+    a = np.asarray(apply_inception_resnet_v1(params, x, precision=HIGH))
+    b = np.asarray(apply_inception_resnet_v1(folded, x, precision=HIGH))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    # folded convs gained biases; bn is an exact no-op
+    assert "b" in folded["conv2d_1a"]["conv"]
+    np.testing.assert_allclose(
+        np.asarray(folded["conv2d_1a"]["bn"]["gamma"]), 1.0)

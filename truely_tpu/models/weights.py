@@ -140,6 +140,58 @@ def convert_torch_state_dict(template, state_dict: Mapping[str, "np.ndarray"]):
 
 
 # ---------------------------------------------------------------------------
+# Batchnorm folding (inference optimization)
+# ---------------------------------------------------------------------------
+
+
+def fold_batchnorm(params, eps: float = 1e-3):
+    """Fold inference batchnorms into their preceding convolutions.
+
+    Walks the tree for the BasicConv2d pattern — a dict holding a bias-less
+    ``conv`` and a ``bn`` — and rewrites it to an equivalent conv with bias
+    plus an identity bn (so the apply functions are unchanged):
+        w' = w * gamma / sqrt(var + eps)       (per output channel)
+        b' = beta - mean * gamma / sqrt(var + eps)
+    Numerically equivalent within float rounding (tested); eliminates the
+    per-activation scale+shift at inference.
+    """
+    import numpy as _np
+
+    def walk(node):
+        if isinstance(node, (list, tuple)):
+            return [walk(v) for v in node]
+        if not isinstance(node, dict):
+            return node
+        if (
+            set(node.keys()) >= {"conv", "bn"}
+            and isinstance(node["conv"], dict)
+            and "b" not in node["conv"]
+            and set(node["bn"].keys()) == {"gamma", "beta", "mean", "var"}
+        ):
+            conv, bn = node["conv"], node["bn"]
+            scale = _np.asarray(bn["gamma"]) / _np.sqrt(
+                _np.asarray(bn["var"]) + eps
+            )
+            w = _np.asarray(conv["w"]) * scale  # HWIO: broadcast over O
+            b = _np.asarray(bn["beta"]) - _np.asarray(bn["mean"]) * scale
+            identity_bn = {
+                "gamma": jnp.ones_like(bn["gamma"]),
+                "beta": jnp.zeros_like(bn["beta"]),
+                "mean": jnp.zeros_like(bn["mean"]),
+                # var + eps == 1 so the identity bn is an exact no-op
+                "var": jnp.ones_like(bn["var"]) - eps,
+            }
+            out = dict(node)
+            out["conv"] = {"w": jnp.asarray(w, jnp.float32),
+                           "b": jnp.asarray(b, jnp.float32)}
+            out["bn"] = identity_bn
+            return out
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
 # Named weight loading with deterministic fallback
 # ---------------------------------------------------------------------------
 
