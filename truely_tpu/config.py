@@ -72,9 +72,6 @@ class DetectorConfig:
     reference_compat: bool = True
     # Compute dtype for conv stacks (params stay fp32; MXU runs bf16).
     compute_dtype: str = "bfloat16"
-    # Fold inference batchnorms into conv weights at load (equivalent within
-    # float rounding; removes the per-activation scale+shift).
-    fold_batchnorm: bool = False
     # Long-video weighting kicks in above this many seconds (model.py:91).
     long_video_seconds: int = 30
     # Run per-face tracks instead of first-face-only (BASELINE config 4).

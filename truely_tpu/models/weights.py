@@ -152,8 +152,11 @@ def fold_batchnorm(params, eps: float = 1e-3):
     plus an identity bn (so the apply functions are unchanged):
         w' = w * gamma / sqrt(var + eps)       (per output channel)
         b' = beta - mean * gamma / sqrt(var + eps)
-    Numerically equivalent within float rounding (tested); eliminates the
-    per-activation scale+shift at inference.
+    Numerically equivalent within float rounding (tested).  NOTE: measured
+    on TPU v5e this is a slight PESSIMIZATION (XLA already fuses the bn
+    scale/shift into the conv epilogue; folding adds ~100 bias tensors of
+    HBM traffic) — kept as a utility for CPU/export paths, deliberately not
+    wired into the Detector.
     """
     import numpy as _np
 

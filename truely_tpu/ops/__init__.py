@@ -5,18 +5,26 @@ from truely_tpu.ops.temporal import (  # noqa: F401
     TemporalResult,
     TemporalState,
     init_temporal_state,
+    resettable_run_length,
     weighted_score,
 )
 from truely_tpu.ops.resize import (  # noqa: F401
     resize_area,
     resize_bilinear,
+    crop_resize_area,
     crop_resize_bilinear,
+    integral_image,
 )
 from truely_tpu.ops.boxes import (  # noqa: F401
     bbreg,
     rerec,
     clip_boxes,
+    pad_crop_bounds,
     box_area,
     iou_matrix,
 )
-from truely_tpu.ops.nms import nms_masked  # noqa: F401
+from truely_tpu.ops.nms import (  # noqa: F401
+    nms_masked,
+    nms_masked_batch,
+    topk_select,
+)

@@ -208,10 +208,6 @@ class Detector:
             "facenet", init_inception_resnet_v1, weights_dir
         )
         landmark, _ = load_or_init("landmark68", init_landmark68, weights_dir)
-        if self.config.fold_batchnorm:
-            from truely_tpu.models.weights import fold_batchnorm
-
-            facenet = fold_batchnorm(facenet)
         self.params = jax.device_put(
             DetectorParams(
                 mtcnn=MTCNNParams(pnet=pnet, rnet=rnet, onet=onet),
