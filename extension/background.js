@@ -93,6 +93,16 @@ const handlers = {
   async analyzeCombined({ videoPath, audioPath }) {
     return apiPost("/analyze-combined", { videoPath, audioPath });
   },
+
+  // Async job surface: submit + poll, so the popup can show real progress
+  // instead of staged percentages.
+  async submitAnalyzeCombined({ videoPath, audioPath }) {
+    return apiPost("/jobs/analyze-combined", { videoPath, audioPath });
+  },
+
+  async getJobStatus({ jobId }) {
+    return apiGet(`/jobs/${jobId}`);
+  },
 };
 
 chrome.runtime.onMessage.addListener((message, sender, sendResponse) => {

@@ -79,6 +79,10 @@ function displayResults(result, env) {
   }
 }
 
+function sleep(ms) {
+  return new Promise((resolve) => setTimeout(resolve, ms));
+}
+
 async function startAnalysis(videoUrl, env) {
   $("error").classList.add("hidden");
   $("results").classList.add("hidden");
@@ -88,14 +92,47 @@ async function startAnalysis(videoUrl, env) {
     const dl = await send({ action: "downloadCombined", videoUrl });
     if (!dl || !dl.success) throw new Error((dl && dl.error) || "Download failed");
 
-    setProgress(45, "Analyzing frames on the detection server…");
-    const analysis = await send({
-      action: "analyzeCombined",
+    // Prefer the async job API (real progress); fall back to the blocking
+    // endpoint if the server predates it.
+    const submitted = await send({
+      action: "submitAnalyzeCombined",
       videoPath: dl.videoPath,
       audioPath: dl.audioPath,
     });
-    if (!analysis || !analysis.success) {
-      throw new Error((analysis && analysis.error) || "Analysis failed");
+    let analysis;
+    if (submitted && submitted.success && submitted.jobId) {
+      setProgress(45, "Queued on the detection server…");
+      const started = Date.now();
+      for (;;) {
+        await sleep(1500);
+        const job = await send({
+          action: "getJobStatus",
+          jobId: submitted.jobId,
+        });
+        if (!job || !job.success) throw new Error("Lost track of the analysis job");
+        if (job.status === "failed") throw new Error(job.error || "Analysis failed");
+        if (job.status === "done") {
+          analysis = job;
+          break;
+        }
+        const secs = Math.round((Date.now() - started) / 1000);
+        setProgress(
+          job.status === "running" ? 70 : 45,
+          job.status === "running"
+            ? `Analyzing frames… (${secs}s)`
+            : `Queued… (${secs}s)`
+        );
+      }
+    } else {
+      setProgress(55, "Analyzing frames on the detection server…");
+      analysis = await send({
+        action: "analyzeCombined",
+        videoPath: dl.videoPath,
+        audioPath: dl.audioPath,
+      });
+      if (!analysis || !analysis.success) {
+        throw new Error((analysis && analysis.error) || "Analysis failed");
+      }
     }
     setProgress(100, "Done");
     displayResults(analysis, env);
