@@ -449,6 +449,20 @@ def test_result_store_ttl_and_file_cleanup(tmp_path):
     assert not os.path.exists(media)
 
 
+def test_result_store_persistence_across_restart(tmp_path):
+    snap = str(tmp_path / "results.json")
+    now = [1000.0]
+    store = ResultStore(ttl_seconds=100, clock=lambda: now[0], persist_path=snap)
+    rid_fresh = store.put({"fake_score": 42})
+    now[0] = 1050.0
+    rid_old = store.put({"fake_score": 7}, result_id="old")
+    # simulate restart 80s later: 'old' is 30s old (fresh), rid_fresh is 130s (expired)
+    now[0] = 1130.0
+    store2 = ResultStore(ttl_seconds=100, clock=lambda: now[0], persist_path=snap)
+    assert store2.get(rid_old) is not None
+    assert store2.get(rid_fresh) is None
+
+
 def test_result_store_concurrent_access():
     store = ResultStore(ttl_seconds=0.001)
     errors = []

@@ -97,6 +97,9 @@ class ServerConfig:
     video_download_timeout: float = 180.0
     audio_download_timeout: float = 120.0
     probe_timeout: float = 30.0
+    # Optional JSON snapshot so unexpired results survive server restarts
+    # (the reference loses all results on restart, SURVEY.md §5).
+    result_store_path: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -239,7 +239,10 @@ class Detector:
         out = self._step(self.params, frames)
         state = init_temporal_state(out.embedding.shape[-1])
         res = self._temporal(out.embedding, out.has_face, jnp.int32(b), state)
-        jax.block_until_ready((out, res))
+        score = self._score(
+            jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(1), jnp.int32(30)
+        )
+        jax.block_until_ready((out, res, score))
 
     def step_device(self, frames: jax.Array) -> FrameOutputs:
         """One compiled batch step on device-resident frames."""

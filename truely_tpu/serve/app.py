@@ -79,6 +79,7 @@ class TruelyServer:
         self.store = store or ResultStore(
             ttl_seconds=self.config.result_ttl_seconds,
             sweep_period_seconds=self.config.cleanup_period_seconds,
+            persist_path=self.config.result_store_path or None,
         )
         self.acquire = acquire_module
         self.tavily_api_key = (

@@ -2,13 +2,15 @@
 
 The reference keeps results in a bare dict mutated by request handlers while
 a daemon thread iterates and deletes from it with no lock (server/server.py:
-81-108 — an actual data race, SURVEY.md §5).  Same behavior here (1-hour TTL,
-5-minute sweep, on-expiry file deletion) but correctly synchronized and with
-an injectable clock for tests.
+81-108 — an actual data race, SURVEY.md §5), and loses everything on restart.
+Same behavior here (1-hour TTL, 5-minute sweep, on-expiry file deletion) but
+correctly synchronized, with an injectable clock for tests, and optionally
+persisted to a JSON snapshot so unexpired results survive restarts.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import threading
@@ -27,6 +29,7 @@ class ResultStore:
         ttl_seconds: float = 3600.0,
         sweep_period_seconds: float = 300.0,
         clock: Callable[[], float] = time.time,
+        persist_path: Optional[str] = None,
     ):
         self._ttl = ttl_seconds
         self._period = sweep_period_seconds
@@ -35,6 +38,34 @@ class ResultStore:
         self._data: Dict[str, Dict[str, Any]] = {}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._persist_path = persist_path
+        if persist_path and os.path.exists(persist_path):
+            try:
+                with open(persist_path) as f:
+                    snapshot = json.load(f)
+                now = self._clock()
+                self._data = {
+                    rid: rec
+                    for rid, rec in snapshot.items()
+                    if now - rec.get("timestamp", 0) <= self._ttl
+                }
+                logger.info(
+                    "restored %d unexpired results from %s",
+                    len(self._data), persist_path,
+                )
+            except Exception as e:
+                logger.error("failed to restore result store: %s", e)
+
+    def _persist_locked(self) -> None:
+        if not self._persist_path:
+            return
+        try:
+            tmp = f"{self._persist_path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._data, f)
+            os.replace(tmp, self._persist_path)
+        except Exception as e:
+            logger.error("failed to persist result store: %s", e)
 
     # ------------------------------------------------------------------
 
@@ -44,6 +75,7 @@ class ResultStore:
         record.setdefault("timestamp", self._clock())
         with self._lock:
             self._data[result_id] = record
+            self._persist_locked()
         return result_id
 
     def get(self, result_id: str) -> Optional[Dict[str, Any]]:
@@ -72,6 +104,8 @@ class ResultStore:
             ]
             for rid, _ in expired:
                 del self._data[rid]
+            if expired:
+                self._persist_locked()
         for rid, rec in expired:
             for key in _FILE_KEYS:
                 path = rec.get(key)
