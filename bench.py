@@ -30,7 +30,7 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        height, width, batch, iters = 1080, 1920, 32, 5
+        height, width, batch, iters = 1080, 1920, 64, 5
     else:  # keep the script runnable anywhere (CI, dev boxes)
         height, width, batch, iters = 216, 384, 4, 2
 
