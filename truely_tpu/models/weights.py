@@ -200,6 +200,7 @@ def fold_batchnorm(params, eps: float = 1e-3):
 
 WEIGHTS_ENV = "TRUELY_TPU_WEIGHTS"
 _SEEDS = {"pnet": 101, "rnet": 102, "onet": 103, "facenet": 104, "landmark68": 105}
+_INIT_CACHE: Dict[str, object] = {}
 
 
 def load_or_init(
@@ -210,14 +211,18 @@ def load_or_init(
     """Load ``<weights_dir>/<name>.npz`` if present, else seeded init.
 
     Returns (params, loaded: bool).  The fallback keeps the whole pipeline
-    runnable for shape/perf work when the converted checkpoints are absent
-    (this build environment has no network access to fetch the upstream
-    facenet_pytorch artifacts — see BASELINE.md).
+    runnable (shape/perf-wise) without the artifacts (this build environment
+    has no network access to fetch the upstream facenet_pytorch artifacts —
+    see BASELINE.md).  Seeded inits are cached per process (the param arrays
+    are immutable, so sharing across Detector instances is safe) — the IRv1
+    init is seconds of host RNG otherwise.
     """
     weights_dir = weights_dir or os.environ.get(WEIGHTS_ENV, "")
     if weights_dir:
         path = os.path.join(weights_dir, f"{name}.npz")
         if os.path.exists(path):
             return load_params(path), True
-    seed = _SEEDS.get(name, abs(hash(name)) % (2**31))
-    return init_fn(jax.random.PRNGKey(seed)), False
+    if name not in _INIT_CACHE:
+        seed = _SEEDS.get(name, abs(hash(name)) % (2**31))
+        _INIT_CACHE[name] = init_fn(jax.random.PRNGKey(seed))
+    return _INIT_CACHE[name], False
