@@ -160,15 +160,16 @@ def make_nets_and_params(seed):
     return (pnet_t, rnet_t, onet_t), params
 
 
-@pytest.mark.parametrize("seed", [0, 10])
-def test_cascade_matches_oracle(seed):
+@pytest.mark.parametrize("seed,hw", [(0, (72, 96)), (10, (72, 96)),
+                                     (3, (120, 168))])
+def test_cascade_matches_oracle(seed, hw):
     # Random nets produce arbitrary "detections"; thresholds tuned so each
     # stage keeps a handful of candidates within our fixed capacities.
     cfg = MTCNNConfig(thresholds=(0.92, 0.55, 0.30), nms_max_rounds=0)
     (pnet_t, rnet_t, onet_t), params = make_nets_and_params(seed)
 
     rng = np.random.default_rng(seed)
-    frames = rng.integers(0, 256, size=(2, 72, 96, 3), dtype=np.uint8)
+    frames = rng.integers(0, 256, size=(2, *hw, 3), dtype=np.uint8)
 
     det = detect_faces(
         params, jnp.asarray(frames), cfg, dtype=None, precision=HIGH
