@@ -21,6 +21,7 @@ def cmd_analyze(args) -> int:
     config = DetectorConfig(
         frame_batch=args.batch,
         reference_compat=not args.corrected,
+        use_pallas_crop=args.pallas_crop,
     )
     detector = Detector(config, weights_dir=args.weights)
     if not detector.facenet_pretrained:
@@ -29,7 +30,11 @@ def cmd_analyze(args) -> int:
             "running with seeded random weights — scores are not meaningful",
             file=sys.stderr,
         )
-    result = detector.analyze_video(args.video, args.output)
+    try:
+        result = detector.analyze_video(args.video, args.output)
+    except (IOError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     payload = {
         "fakeScore": result.fake_score,
         "frameCount": result.frame_count,
@@ -70,6 +75,9 @@ def main(argv=None) -> int:
     p.add_argument("--corrected", action="store_true",
                    help="RGB + corrected semantics instead of reference compat")
     p.add_argument("--compact", action="store_true", help="one-line JSON")
+    p.add_argument("--pallas-crop", action="store_true",
+                   help="use the Pallas face-crop kernel (TPU only; see "
+                        "PERFORMANCE.md finding 4 for when it wins)")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("serve", help="start the API server")

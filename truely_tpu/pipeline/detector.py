@@ -90,6 +90,14 @@ class VideoAnalysis:
         return [r.frame_index for r in self.records if r.flagged]
 
 
+def _crop_fn(cfg: DetectorConfig):
+    if cfg.use_pallas_crop and jax.default_backend() == "tpu":
+        from truely_tpu.ops.crop_pallas import crop_resize_bilinear_pallas
+
+        return crop_resize_bilinear_pallas
+    return crop_resize_bilinear
+
+
 def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
                 compute_dtype) -> FrameOutputs:
     h, w = frames.shape[1], frames.shape[2]
@@ -107,7 +115,7 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
     ok = jnp.logical_and(x1 > x0, y1 > y0)
     has_face = jnp.logical_and(has_face, ok)
     bounds = jnp.stack([x0, y0, x1, y1], axis=-1)
-    crops = crop_resize_bilinear(frames, bounds[:, None, :], cfg.crop_size)[:, 0]
+    crops = _crop_fn(cfg)(frames, bounds[:, None, :], cfg.crop_size)[:, 0]
     if cfg.reference_compat:
         # torchvision to_tensor scaling, no standardization (model.py:58).
         crops = crops * (1.0 / 255.0)
@@ -146,7 +154,7 @@ def _multiface_step(params: DetectorParams, frames: jax.Array,
     y1 = jnp.minimum(bi[..., 3], h)
     valid = jnp.logical_and(valid, jnp.logical_and(x1 > x0, y1 > y0))
     bounds = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, T, 4)
-    crops = crop_resize_bilinear(frames, bounds, cfg.crop_size)  # (B, T, S, S, 3)
+    crops = _crop_fn(cfg)(frames, bounds, cfg.crop_size)  # (B, T, S, S, 3)
     s = cfg.crop_size
     flat = crops.reshape(b * t, s, s, 3)
     flat = (
