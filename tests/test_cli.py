@@ -34,3 +34,13 @@ def test_analyze_cli(tmp_path, capsys, monkeypatch):
 def test_cli_requires_command():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_analyze_unreadable_input_is_clean_error(capsys):
+    # Also exercises --pallas-crop arg parsing (falls back to the XLA path
+    # off-TPU; the kernel itself is covered by tests/test_crop_pallas.py).
+    rc = main(["analyze", "/nonexistent/clip.mp4", "--pallas-crop"])
+    assert rc == 1
+    captured = capsys.readouterr()
+    assert "error: could not open video" in captured.err
+    assert "Traceback" not in captured.err

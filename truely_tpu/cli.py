@@ -15,8 +15,15 @@ import sys
 
 
 def cmd_analyze(args) -> int:
+    import os
+
     from truely_tpu.config import DetectorConfig
     from truely_tpu.pipeline.detector import Detector
+
+    if not os.path.isfile(args.video):
+        # Fail before paying model init / device attach.
+        print(f"error: could not open video: {args.video}", file=sys.stderr)
+        return 1
 
     config = DetectorConfig(
         frame_batch=args.batch,

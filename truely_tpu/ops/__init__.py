@@ -28,3 +28,8 @@ from truely_tpu.ops.nms import (  # noqa: F401
     nms_masked_batch,
     topk_select,
 )
+
+# Pallas variants (TPU-compiled; interpret=True runs anywhere) are imported
+# lazily by their users to keep CPU-only imports light:
+#   truely_tpu.ops.nms_pallas.nms_masked_batch_pallas
+#   truely_tpu.ops.crop_pallas.crop_resize_bilinear_pallas
