@@ -10,6 +10,22 @@ reference's ~7 Hz sampling (every 4th frame at 30 fps) that is 225 sampled
 throughput x sample interval — so the number is directly comparable to the
 north star; vs_baseline = value / 900.
 
+Methodology note (sync-verified): on this rig the TPU is remote-attached
+(axon tunnel) and ``jax.block_until_ready`` does NOT synchronize non-scalar
+buffers — dispatching N steps and blocking once times only dispatch (a
+137-GFLOP matmul "took" 0.02 ms that way).  Execution IS forced by fetching
+a scalar that data-depends on the computation: chaining the temporal state
+through every step makes the final counter depend on every step's
+embeddings, so one final scalar fetch forces the whole chain.  To cancel
+the constant round-trip/fetch overhead (~25-65 ms, variable), we time the
+chain at two iteration counts and report the SLOPE:
+
+    per_step = (t(n_hi) - t(n_lo)) / (n_hi - n_lo)
+
+Validated against a known quantity: the same pattern times 8192^3 bf16
+matmuls at 5.9 ms/step = 186 TFLOPS on a ~197 TFLOPS v5e (94% of peak,
+physically sane and reproducible across trials).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -20,19 +36,38 @@ import time
 import numpy as np
 
 
+def _chain_time(det, frames, n_steps, batch):
+    """Wall time of n_steps chained detector+temporal steps, forced by one
+    scalar fetch of the final temporal counter (which data-depends on every
+    step's embeddings)."""
+    import jax.numpy as jnp
+
+    from truely_tpu.ops.temporal import init_temporal_state
+
+    state = init_temporal_state(512)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = det.step_device(frames)
+        res = det._temporal(out.embedding, out.has_face, jnp.int32(batch), state)
+        state = res.state
+    int(state.counter)  # scalar fetch: forces the whole chain
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from truely_tpu.config import DetectorConfig
-    from truely_tpu.ops.temporal import init_temporal_state
     from truely_tpu.pipeline.detector import Detector
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        height, width, batch, iters = 1080, 1920, 64, 5
+        height, width, batch = 1080, 1920, 64
+        n_lo, n_hi = 2, 7
     else:  # keep the script runnable anywhere (CI, dev boxes)
-        height, width, batch, iters = 216, 384, 4, 2
+        height, width, batch = 216, 384, 4
+        n_lo, n_hi = 1, 3
 
     fps_video = 30
     config = DetectorConfig(frame_batch=batch)
@@ -42,28 +77,19 @@ def main():
     rng = np.random.default_rng(0)
     frames_host = rng.integers(0, 256, (batch, height, width, 3), dtype=np.uint8)
     frames = jax.device_put(jnp.asarray(frames_host))
-    state = init_temporal_state(512)
 
-    def one_step(state):
-        out = det.step_device(frames)
-        res = det._temporal(out.embedding, out.has_face, jnp.int32(batch), state)
-        return out, res
+    # Warmup / compile (both executables + the scalar-fetch path).
+    _chain_time(det, frames, 1, batch)
+    _chain_time(det, frames, 1, batch)
 
-    # Warmup / compile.
-    out, res = one_step(state)
-    jax.block_until_ready((out, res))
-    out, res = one_step(res.state)
-    jax.block_until_ready((out, res))
+    # Best of 3 trials (shared remote service => take the quietest run).
+    per_step = min(
+        (_chain_time(det, frames, n_hi, batch)
+         - _chain_time(det, frames, n_lo, batch)) / (n_hi - n_lo)
+        for _ in range(3)
+    )
 
-    t0 = time.perf_counter()
-    st = res.state
-    for _ in range(iters):
-        out, res = one_step(st)
-        st = res.state
-    jax.block_until_ready((out, res))
-    dt = time.perf_counter() - t0
-
-    sampled_fps = batch * iters / dt
+    sampled_fps = batch / per_step
     video_fps = sampled_fps * interval
     baseline = 900.0  # north-star frames/sec/chip
     print(
