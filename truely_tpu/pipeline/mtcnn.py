@@ -32,7 +32,7 @@ from truely_tpu.models.mtcnn_nets import (
 )
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
-from truely_tpu.ops.resize import resize_area, integral_image, crop_resize_area
+from truely_tpu.ops.resize import resize_area, crop_resize_area_mxu
 from truely_tpu.pipeline.pyramid import pyramid_schedule
 
 
@@ -190,9 +190,14 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     return boxes, scores, valid
 
 
-def _stage_crops(integral, boxes, width, height, out_size):
+def _stage_crops(frames_chw, boxes, width, height, out_size, dtype):
+    """Exact area crop-resize of stage boxes straight from the uint8 frames.
+
+    MXU bin-indicator matmuls (ops/resize.crop_resize_area_mxu) — bit-exact
+    with the integral-image formulation but ~8x faster on TPU, where XLA
+    gathers run far below HBM bandwidth."""
     bounds = pad_crop_bounds(boxes, width, height)
-    return crop_resize_area(integral, bounds, out_size)
+    return crop_resize_area_mxu(frames_chw, bounds, out_size, dtype=dtype)
 
 
 def detect_faces(
@@ -213,12 +218,15 @@ def detect_faces(
 
     boxes, scores, valid = _stage1(params, frames, cfg, dtype=dtype, precision=precision)
 
-    integral = integral_image(frames)
+    # Channel-major uint8 frames shared by both stage-crop extractions
+    # (H/W must be the minor dims; C-minor intermediates lane-pad 3 -> 128).
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
+    crop_dtype = jnp.float32 if precision is not None else dtype
 
     # ---- Stage 2: R-Net on 24x24 crops -----------------------------------
     k2 = min(cfg.rnet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k2, boxes)
-    crops = _stage_crops(integral, boxes, w, h, 24)
+    crops = _stage_crops(frames_chw, boxes, w, h, 24, crop_dtype)
     flat = _normalize(crops.reshape(b * k2, 24, 24, 3))
     prob, reg = apply_rnet(params.rnet, flat, dtype=dtype, precision=precision)
     prob = prob.reshape(b, k2)
@@ -234,7 +242,7 @@ def detect_faces(
     # ---- Stage 3: O-Net on 48x48 crops ------------------------------------
     k3 = min(cfg.onet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k3, boxes)
-    crops = _stage_crops(integral, boxes, w, h, 48)
+    crops = _stage_crops(frames_chw, boxes, w, h, 48, crop_dtype)
     flat = _normalize(crops.reshape(b * k3, 48, 48, 3))
     prob, reg, lmk = apply_onet(params.onet, flat, dtype=dtype, precision=precision)
     prob = prob.reshape(b, k3)
