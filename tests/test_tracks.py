@@ -152,7 +152,7 @@ def test_detector_analyze_frames_tracks_smoke():
     cfg = DetectorConfig(
         frame_batch=4, max_tracks=2, compute_dtype="float32",
         mtcnn=MTCNNConfig(
-            pnet_topk_per_scale=16, pnet_topk_total=16,
+            pnet_topk_total=16,
             rnet_capacity=8, onet_capacity=4,
             thresholds=(0.5, 0.3, 0.2),
         ),
@@ -182,7 +182,7 @@ def test_analyze_video_multiface_smoke(tmp_path):
     cfg = DetectorConfig(
         frame_batch=4, max_tracks=2, compute_dtype="float32",
         mtcnn=MTCNNConfig(
-            pnet_topk_per_scale=16, pnet_topk_total=16,
+            pnet_topk_total=16,
             rnet_capacity=8, onet_capacity=4, thresholds=(0.5, 0.3, 0.2),
         ),
     )

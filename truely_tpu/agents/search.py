@@ -55,7 +55,9 @@ def perform_search(
             json=body,
         )
     if resp.status_code != 200:
-        raise RuntimeError(f"Tavily search error: {resp.text}")
+        raise RuntimeError(
+            f"web search request failed (HTTP {resp.status_code}): {resp.text}"
+        )
     normalized: List[Dict[str, Any]] = []
     for r in resp.json().get("results", []):
         url = (r.get("url") or "").lower()

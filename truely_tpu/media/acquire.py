@@ -93,7 +93,8 @@ def get_available_formats(url: str, *, runner: Runner = _default_runner,
     if not url:
         return []
     try:
-        result = runner(["yt-dlp", "--dump-json", "--no-playlist", url], timeout)
+        result = runner(["yt-dlp", "--dump-json", "--no-playlist", "--", url],
+                        timeout)
         if not result.stdout:
             return []
         return json.loads(result.stdout).get("formats", [])
@@ -165,7 +166,7 @@ def download_video(
     cmd = (
         ["yt-dlp", "--verbose", "--force-overwrites", "--no-cache-dir", "--no-continue"]
         + _format_option(platform, video_url, target_height, runner)
-        + ["--merge-output-format", "mp4", "-o", path, video_url]
+        + ["--merge-output-format", "mp4", "-o", path, "--", video_url]
     )
     try:
         runner(cmd, timeout)
@@ -208,7 +209,7 @@ def download_audio(
     cmd = [
         "yt-dlp", "--verbose", "--force-overwrites", "--no-cache-dir",
         "--no-continue", "-x", "--audio-format", audio_format,
-        "--audio-quality", "0", "-o", path, video_url,
+        "--audio-quality", "0", "-o", path, "--", video_url,
     ]
     try:
         runner(cmd, timeout)
@@ -252,7 +253,7 @@ def download_combined(
     cmd = (
         ["yt-dlp", "--verbose", "--force-overwrites", "--no-cache-dir", "--no-continue"]
         + _format_option(platform, video_url, target_height, runner)
-        + ["--merge-output-format", "mp4", "-o", video_path, video_url]
+        + ["--merge-output-format", "mp4", "-o", video_path, "--", video_url]
     )
     try:
         runner(cmd, video_timeout)
@@ -276,7 +277,7 @@ def download_combined(
     audio_cmd = [
         "yt-dlp", "--verbose", "--force-overwrites", "--no-cache-dir",
         "--no-continue", "-x", "--audio-format", audio_format,
-        "--audio-quality", "0", "-o", audio_path, video_url,
+        "--audio-quality", "0", "-o", audio_path, "--", video_url,
     ]
     try:
         runner(audio_cmd, audio_timeout)

@@ -23,15 +23,24 @@ GREEN = (0, 255, 0)
 CYAN = (255, 255, 0)
 
 
+def _order(color, rgb: bool):
+    """Color constants above are BGR (cv2 convention); reverse for RGB
+    frames (corrected-mode decode) so red boxes stay red after the
+    RGB->BGR flip at encode time."""
+    return color[::-1] if rgb else color
+
+
 def draw_landmarks(
     frame: np.ndarray,
     landmarks_xy: np.ndarray,
     *,
     color=CYAN,
     radius: int = 1,
+    rgb: bool = False,
 ) -> np.ndarray:
     """Draw 68-point landmarks (image coordinates) as dots (BASELINE
     config 2: landmark head + suspicious-frame rendering)."""
+    color = _order(color, rgb)
     h, w = frame.shape[0], frame.shape[1]
     for x, y in landmarks_xy:
         xi, yi = int(x), int(y)
@@ -55,21 +64,25 @@ def annotate_frame(
     *,
     flagged: bool,
     frame_index: int,
+    rgb: bool = False,
 ) -> np.ndarray:
-    """Draw in place on a BGR frame and return it."""
+    """Draw in place and return the frame.  ``rgb`` declares the frame's
+    channel order (corrected-mode decode is RGB); colors are swapped so
+    the rendered hue is identical either way."""
+    red, green = _order(RED, rgb), _order(GREEN, rgb)
     x1, y1, x2, y2 = [int(v) for v in box_xyxy]
     if flagged:
-        _rect(frame, x1, y1, x2, y2, RED)
+        _rect(frame, x1, y1, x2, y2, red)
         if cv2 is not None:
             cv2.putText(
                 frame, f"AI Detected - Frame {frame_index}", (10, 30),
-                cv2.FONT_HERSHEY_SIMPLEX, 1, RED, 2, cv2.LINE_AA,
+                cv2.FONT_HERSHEY_SIMPLEX, 1, red, 2, cv2.LINE_AA,
             )
     else:
-        _rect(frame, x1, y1, x2, y2, GREEN)
+        _rect(frame, x1, y1, x2, y2, green)
         if cv2 is not None:
             cv2.putText(
                 frame, "Real Frame", (x1, y1 - 10),
-                cv2.FONT_HERSHEY_SIMPLEX, 0.5, GREEN, 2, cv2.LINE_AA,
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, green, 2, cv2.LINE_AA,
             )
     return frame

@@ -322,6 +322,7 @@ class Detector:
                             annotate_frame(
                                 frame, bounds[k],
                                 flagged=bool(flagged[k]), frame_index=gi,
+                                rgb=not cfg.reference_compat,
                             )
                             if lmks is not None:
                                 from truely_tpu.media.overlay import draw_landmarks
@@ -330,7 +331,9 @@ class Detector:
                                 pts = lmks[k] * np.asarray(
                                     [max(x1 - x0, 1), max(y1 - y0, 1)]
                                 ) + np.asarray([x0, y0])
-                                draw_landmarks(frame, pts)
+                                draw_landmarks(
+                                    frame, pts, rgb=not cfg.reference_compat
+                                )
                     if writer:
                         # cv2 encodes BGR; corrected mode decodes RGB.
                         writer.write(
@@ -547,8 +550,13 @@ class Detector:
                                         frame, t_boxes[k, t],
                                         flagged=bool(t_flag[k, t]),
                                         frame_index=gi,
+                                        rgb=not cfg.reference_compat,
                                     )
-                        writer.write(frame)
+                        # cv2 encodes BGR; corrected mode decodes RGB.
+                        writer.write(
+                            frame if cfg.reference_compat
+                            else np.ascontiguousarray(frame[..., ::-1])
+                        )
             finally:
                 if writer:
                     writer.close()

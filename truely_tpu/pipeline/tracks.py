@@ -170,11 +170,20 @@ def track_step(
         jnp.where(spawns[:, None], det_emb[spawn_safe], state.embedding),
     )
     has_prev = jnp.logical_or(jnp.logical_or(matched, spawns), state.has_prev)
-    # A spawned track resets its history.
+    # A spawned track resets its history — including accumulated stats, so a
+    # slot vacated by a retired track can't leak the previous face's
+    # flagged/processed counts into the new occupant's score.
     counter = jnp.where(spawns, 0, counter)
     has_prev = jnp.where(spawns, True, has_prev)
     active = jnp.logical_or(active, spawns)
     misses = jnp.where(spawns, 0, misses)
+    flagged_count = jnp.where(
+        spawns, 0, state.flagged_count + flagged.astype(jnp.int32)
+    )
+    processed = jnp.where(spawns, 0, state.processed + update.astype(jnp.int32))
+    final_counter = jnp.where(
+        spawns, 0, jnp.where(update, counter, state.final_counter)
+    )
 
     new_state = TrackState(
         active=active,
@@ -182,10 +191,10 @@ def track_step(
         embedding=emb,
         has_prev=has_prev,
         counter=counter,
-        flagged_count=state.flagged_count + flagged.astype(jnp.int32),
-        processed=state.processed + update.astype(jnp.int32),
+        flagged_count=flagged_count,
+        processed=processed,
         misses=misses,
-        final_counter=jnp.where(update, counter, state.final_counter),
+        final_counter=final_counter,
     )
     out = TrackFrameOut(
         track_flagged=flagged,
