@@ -108,10 +108,11 @@ def server(tmp_path):
     )
 
 
-def call(server, method, path, query=None, body=None):
+def call(server, method, path, query=None, body=None, headers=None):
     req = Request(
         method=method, path=path, query=query or {},
         body=json.dumps(body).encode() if body is not None else b"",
+        headers=headers or {},
     )
     resp = server.router.dispatch(req)
     payload = None
@@ -300,13 +301,204 @@ def test_view_and_video_roundtrip(server, tmp_path):
     assert "42" in html and "Fake" in html and "https://bbc.com/a" in html
     resp, _ = call(server, "GET", f"/video/{rid}")
     assert resp.status == 200
-    assert resp.content == b"fake-video-bytes"
+    assert resp.body_bytes() == b"fake-video-bytes"
     assert resp.content_type == "video/mp4"
 
 
 def test_view_missing_404(server):
     resp, payload = call(server, "GET", "/view/deadbeef")
     assert resp.status == 404
+
+
+def _view_html(server, result):
+    rid = server.store.put(result)
+    resp, _ = call(server, "GET", f"/view/{rid}")
+    assert resp.status == 200
+    return resp.content.decode()
+
+
+# Report-page band parity with the reference template
+# (reference view_result.html:891-918 consistency/anomaly bands,
+# :923-943 alert copy, :981-991 credibility inversion, :1029-1053 sources).
+@pytest.mark.parametrize("score,consistency,anomalies", [
+    (90, "Very Low", "Very High"),
+    (70, "Low", "High"),
+    (50, "Medium", "Medium"),
+    (30, "High", "Low"),
+    (10, "Very High", "Very Low"),
+])
+def test_view_stat_bands(server, score, consistency, anomalies):
+    html = _view_html(server, {"fake_score": score, "news_score": 0})
+    ic = html.index("Facial Consistency")
+    ia = html.index("Frame Anomalies")
+    assert consistency in html[ic:ia]
+    assert anomalies in html[ia:ia + 600]
+
+
+@pytest.mark.parametrize("score,phrases", [
+    (90, ["Very high AI detection", "signs of AI-generated edits"]),
+    (65, ["High AI detection", "signs of AI-generated edits"]),
+    (45, ["Moderate AI detection", "signs of AI-generated edits"]),
+    (20, ["Low AI detection", "minimal signs of manipulation"]),
+])
+def test_view_alert_copy_bands(server, score, phrases):
+    html = _view_html(server, {"fake_score": score, "news_score": 0})
+    for phrase in phrases:
+        assert phrase in html
+
+
+def test_view_credibility_inversion(server):
+    # Reference quirk (:983): displayed credibility = 100 - news_score
+    # (the route never passes `confidence`, so the fallback at :981 always
+    # takes news_score).
+    html = _view_html(server, {"fake_score": 10, "news_score": 88,
+                               "verdict": "Fake"})
+    assert "12%" in html            # 100 - 88, the inverted ring value
+    assert "88%" in html            # confidence stat card
+    assert "Content Credibility" in html
+    assert "Confidence Level" in html
+    assert "Fact-Check Verdict" in html
+
+
+def test_view_sources_snippet_fallback(server):
+    # The route passes title/url only (matching reference server.py:126-131),
+    # so the snippet fallback copy must render for every source (:1041-1045).
+    html = _view_html(server, {
+        "fake_score": 10, "news_score": 40, "verdict": "Misleading",
+        "news_summary": "summary text here",
+        "news_evidence": [{"title": "Src A", "url": "https://bbc.com/a"}],
+    })
+    assert "Referenced Sources" in html
+    assert "Src A" in html and "https://bbc.com/a" in html
+    assert "External source supporting the analysis" in html
+    assert "Key Findings" in html and "summary text here" in html
+
+
+def test_view_static_sections(server):
+    html = _view_html(server, {"fake_score": 55, "news_score": 50})
+    for section in ["How Truely Detects AI Content", "Face Detection",
+                    "Fact Verification", "Interpreting Your Results",
+                    "Media Literacy Tips", "Red Bounding Boxes",
+                    "Green Bounding Boxes", "Verify Before You Believe"]:
+        assert section in html
+
+
+def test_view_no_fake_score_renders(server):
+    # Audio-only results have no fake_score; the page must still render
+    # (the reference template 500s on this input — guarded here).
+    html = _view_html(server, {"news_score": 30, "verdict": "Uncertain",
+                               "news_summary": "s"})
+    assert "No video analysis available" in html
+    assert "Content Credibility" in html and "70%" in html
+
+
+# ---- Range / streamed file serving ------------------------------------------
+# Reference behavior: FastAPI FileResponse (server/server.py:138-150) streams
+# from disk and honors Range, which is what lets the report's <video> seek.
+
+
+def _stored_video(server, tmp_path, data=b"0123456789abcdef"):
+    path = str(tmp_path / "r.mp4")
+    with open(path, "wb") as f:
+        f.write(data)
+    return server.store.put({"output_path": path}), data
+
+
+def test_video_range_request_206(server, tmp_path):
+    rid, data = _stored_video(server, tmp_path)
+    resp, _ = call(server, "GET", f"/video/{rid}",
+                   headers={"range": "bytes=4-7"})
+    assert resp.status == 206
+    assert resp.headers["Content-Range"] == f"bytes 4-7/{len(data)}"
+    assert resp.body_bytes() == data[4:8]
+
+
+def test_video_range_open_ended_and_suffix(server, tmp_path):
+    rid, data = _stored_video(server, tmp_path)
+    resp, _ = call(server, "GET", f"/video/{rid}",
+                   headers={"range": "bytes=10-"})
+    assert resp.status == 206 and resp.body_bytes() == data[10:]
+    resp, _ = call(server, "GET", f"/video/{rid}",
+                   headers={"range": "bytes=-4"})
+    assert resp.status == 206 and resp.body_bytes() == data[-4:]
+
+
+def test_video_range_unsatisfiable_416(server, tmp_path):
+    rid, data = _stored_video(server, tmp_path)
+    resp, _ = call(server, "GET", f"/video/{rid}",
+                   headers={"range": f"bytes={len(data)}-"})
+    assert resp.status == 416
+    assert resp.headers["Content-Range"] == f"bytes */{len(data)}"
+
+
+def test_video_full_response_advertises_ranges(server, tmp_path):
+    rid, data = _stored_video(server, tmp_path)
+    resp, _ = call(server, "GET", f"/video/{rid}")
+    assert resp.status == 200
+    assert resp.headers["Accept-Ranges"] == "bytes"
+    assert resp.body_bytes() == data
+
+
+def test_parse_byte_range_units():
+    from truely_tpu.serve.http import parse_byte_range
+
+    assert parse_byte_range("bytes=0-0", 10) == (0, 0)
+    assert parse_byte_range("bytes=3-100", 10) == (3, 9)   # end clamped
+    assert parse_byte_range("bytes=3-", 10) == (3, 9)
+    assert parse_byte_range("bytes=-3", 10) == (7, 9)
+    assert parse_byte_range("bytes=-0", 10) is None
+    assert parse_byte_range("bytes=10-", 10) is None        # past EOF
+    assert parse_byte_range("bytes=5-4", 10) is None
+    assert parse_byte_range("bytes=-", 10) is None
+    assert parse_byte_range("bogus", 10) is None
+    assert parse_byte_range("bytes=0-", 0) is None
+
+
+def test_range_over_real_socket(server, tmp_path):
+    """The wire-level handler must stream the ranged bytes with 206."""
+    rid, data = _stored_video(server, tmp_path)
+    httpd = make_server(server.router, "127.0.0.1", 0)
+    serve_forever_in_thread(httpd)
+    try:
+        port = httpd.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/video/{rid}",
+            headers={"Range": "bytes=2-5"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 206
+            assert r.headers["Content-Range"] == f"bytes 2-5/{len(data)}"
+            assert r.read() == data[2:6]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/video/{rid}"
+        ) as r:
+            assert r.status == 200
+            assert r.read() == data
+    finally:
+        httpd.shutdown()
+
+
+def test_oversized_body_rejected_413(server, tmp_path):
+    from truely_tpu.serve import http as http_mod
+
+    httpd = make_server(server.router, "127.0.0.1", 0)
+    serve_forever_in_thread(httpd)
+    old = http_mod.MAX_BODY_BYTES
+    http_mod.MAX_BODY_BYTES = 1024
+    try:
+        port = httpd.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze-video",
+            data=b"x" * 2048, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        http_mod.MAX_BODY_BYTES = old
+        httpd.shutdown()
 
 
 def test_audio_media_types(server, tmp_path):

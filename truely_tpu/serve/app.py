@@ -130,7 +130,23 @@ class TruelyServer:
                         from truely_tpu.pipeline.detector import Detector
 
                         self._detector = Detector()
+                    if not getattr(
+                        self._detector, "facenet_pretrained", True
+                    ):
+                        logger.warning(
+                            "detector is running on SEEDED RANDOM weights "
+                            "(converted .npz artifacts not found) — fake "
+                            "scores from /analyze-* are not meaningful; "
+                            "see scripts/convert_weights.py"
+                        )
         return self._detector
+
+    def _weights_pretrained(self) -> Optional[bool]:
+        """True/False once the detector exists; None before first use."""
+        det = self._detector
+        if det is None:
+            return None
+        return bool(getattr(det, "facenet_pretrained", False))
 
     def _run_analysis(self, video_path: str, output_path: str) -> int:
         """Serialized access to the device for the visual pipeline."""
@@ -201,7 +217,8 @@ class TruelyServer:
         path = result.get("output_path")
         if not path or not os.path.exists(path):
             return Response.error("Video file not found", 404)
-        return Response.file(path, "video/mp4")
+        return Response.file(path, "video/mp4",
+                             range_header=req.headers.get("range"))
 
     def get_audio(self, req: Request) -> Response:
         result = self.store.get(req.path_params["result_id"])
@@ -212,7 +229,8 @@ class TruelyServer:
             return Response.error("Audio file not found", 404)
         ext = path.rsplit(".", 1)[-1].lower()
         media_type = "audio/mp4" if ext == "m4a" else f"audio/{ext}"
-        return Response.file(path, media_type)
+        return Response.file(path, media_type,
+                             range_header=req.headers.get("range"))
 
     def static_file(self, req: Request) -> Response:
         name = os.path.basename(req.path_params["filename"])
@@ -222,12 +240,17 @@ class TruelyServer:
         return Response.file(path)
 
     def health(self, req: Request) -> Response:
-        return Response.json({"status": "ok", "results": len(self.store)})
+        return Response.json({
+            "status": "ok",
+            "results": len(self.store),
+            "weights_pretrained": self._weights_pretrained(),
+        })
 
     def get_metrics(self, req: Request) -> Response:
         with self._metrics_lock:
             payload = dict(self.metrics)
         payload["results_stored"] = len(self.store)
+        payload["weights_pretrained"] = self._weights_pretrained()
         payload["uptime_seconds"] = round(time.time() - payload["started_at"], 1)
         return Response.json(payload)
 

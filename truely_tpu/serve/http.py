@@ -6,6 +6,13 @@ blocking analysis inside async handlers, stalling its event loop for the
 whole video (server/server.py:611, SURVEY.md §2.3).  A thread-per-request
 server with an explicit device lock keeps the API responsive while one
 analysis owns the TPU.
+
+File responses stream from disk in fixed-size chunks and honor ``Range``
+headers with 206/416 semantics (reference behavior: FastAPI ``FileResponse``
+at server/server.py:138-150 streams and supports Range), so the report
+page's <video> player can seek and large videos never cost full-file RAM.
+POST bodies are capped (413 beyond ``MAX_BODY_BYTES``) and concurrent
+request threads are bounded (accepts back-pressure at ``MAX_THREADS``).
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from __future__ import annotations
 import json
 import logging
 import mimetypes
+import os
 import re
 import threading
 from dataclasses import dataclass, field
@@ -29,6 +37,13 @@ CORS_HEADERS = {
     "Access-Control-Allow-Headers": "*",
 }
 
+# JSON control-plane bodies are tiny; anything bigger is abuse.
+MAX_BODY_BYTES = 16 * 1024 * 1024
+# Upper bound on concurrent request handler threads.
+MAX_THREADS = 64
+# Streaming chunk size for file responses.
+FILE_CHUNK_BYTES = 256 * 1024
+
 
 @dataclass
 class Request:
@@ -37,6 +52,7 @@ class Request:
     query: Dict[str, str]
     body: bytes = b""
     path_params: Dict[str, str] = field(default_factory=dict)
+    headers: Dict[str, str] = field(default_factory=dict)  # lower-cased keys
 
     def json(self) -> Any:
         if not self.body:
@@ -72,12 +88,74 @@ class Response:
             payload = detail_or_payload
         return cls.json(payload, status=status)
 
+    # Streaming file response state (set by Response.file): when file_path
+    # is set, `content` stays empty and the handler streams bytes
+    # [file_offset, file_offset + file_length) from disk in chunks.
+    file_path: Optional[str] = None
+    file_offset: int = 0
+    file_length: int = 0
+
+    def body_bytes(self) -> bytes:
+        """Materialize the full response body (streamed or inline)."""
+        if self.file_path is None:
+            return self.content
+        with open(self.file_path, "rb") as f:
+            f.seek(self.file_offset)
+            return f.read(self.file_length)
+
     @classmethod
-    def file(cls, path: str, media_type: Optional[str] = None) -> "Response":
+    def file(
+        cls,
+        path: str,
+        media_type: Optional[str] = None,
+        range_header: Optional[str] = None,
+    ) -> "Response":
+        """Streaming file response with HTTP Range support (206/416)."""
         if media_type is None:
             media_type = mimetypes.guess_type(path)[0] or "application/octet-stream"
-        with open(path, "rb") as f:
-            return cls(status=200, content=f.read(), content_type=media_type)
+        size = os.path.getsize(path)
+        headers = {"Accept-Ranges": "bytes"}
+        status, offset, length = 200, 0, size
+        if range_header:
+            parsed = parse_byte_range(range_header, size)
+            if parsed is None:
+                return cls(
+                    status=416, content=b"", content_type=media_type,
+                    headers={**headers, "Content-Range": f"bytes */{size}"},
+                )
+            offset, end = parsed
+            length = end - offset + 1
+            status = 206
+            headers["Content-Range"] = f"bytes {offset}-{end}/{size}"
+        return cls(
+            status=status, content=b"", content_type=media_type,
+            headers=headers, file_path=path, file_offset=offset,
+            file_length=length,
+        )
+
+
+def parse_byte_range(header: str, size: int) -> Optional[Tuple[int, int]]:
+    """Parse a single-range ``bytes=`` header into inclusive (start, end),
+    or None when unsatisfiable.  Multi-range requests take the first range
+    (the <video> element only ever sends one)."""
+    m = re.match(r"bytes=(\d*)-(\d*)", header.strip())
+    if not m or size == 0:
+        return None
+    start_s, end_s = m.group(1), m.group(2)
+    if start_s == "" and end_s == "":
+        return None
+    if start_s == "":  # suffix range: last N bytes
+        n = int(end_s)
+        if n == 0:
+            return None
+        return max(size - n, 0), size - 1
+    start = int(start_s)
+    if start >= size:
+        return None
+    end = min(int(end_s), size - 1) if end_s else size - 1
+    if end < start:
+        return None
+    return start, end
 
 
 Handler = Callable[[Request], Response]
@@ -120,20 +198,44 @@ class _HTTPHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
 
     def _respond(self, resp: Response) -> None:
+        body_len = resp.file_length if resp.file_path else len(resp.content)
         self.send_response(resp.status)
         self.send_header("Content-Type", resp.content_type)
-        self.send_header("Content-Length", str(len(resp.content)))
+        self.send_header("Content-Length", str(body_len))
         for k, v in {**CORS_HEADERS, **resp.headers}.items():
             self.send_header(k, v)
         self.end_headers()
-        self.wfile.write(resp.content)
+        if resp.file_path:
+            try:
+                with open(resp.file_path, "rb") as f:
+                    f.seek(resp.file_offset)
+                    remaining = resp.file_length
+                    while remaining > 0:
+                        chunk = f.read(min(FILE_CHUNK_BYTES, remaining))
+                        if not chunk:
+                            break
+                        self.wfile.write(chunk)
+                        remaining -= len(chunk)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up mid-stream (seek, tab close)
+        else:
+            self.wfile.write(resp.content)
 
     def _handle(self, method: str) -> None:
         parsed = urlparse(self.path)
         query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
-        length = int(self.headers.get("Content-Length") or 0)
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            length = 0
+        if length > MAX_BODY_BYTES:
+            self._respond(Response.error("Request body too large", 413))
+            self.close_connection = True
+            return
         body = self.rfile.read(length) if length else b""
-        request = Request(method=method, path=parsed.path, query=query, body=body)
+        headers = {k.lower(): v for k, v in self.headers.items()}
+        request = Request(method=method, path=parsed.path, query=query,
+                          body=body, headers=headers)
         self._respond(self.router.dispatch(request))
 
     def do_GET(self):
@@ -149,9 +251,35 @@ class _HTTPHandler(BaseHTTPRequestHandler):
         logger.info("%s - %s", self.address_string(), fmt % args)
 
 
+class BoundedThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a cap on concurrent handler threads: the
+    accept loop blocks once MAX_THREADS requests are in flight (back-pressure
+    instead of unbounded thread growth)."""
+
+    max_threads = MAX_THREADS
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._slots = threading.BoundedSemaphore(self.max_threads)
+
+    def process_request(self, request, client_address):
+        self._slots.acquire()
+        try:
+            super().process_request(request, client_address)
+        except Exception:
+            self._slots.release()
+            raise
+
+    def process_request_thread(self, request, client_address):
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            self._slots.release()
+
+
 def make_server(router: Router, host: str, port: int) -> ThreadingHTTPServer:
     handler_cls = type("BoundHTTPHandler", (_HTTPHandler,), {"router": router})
-    return ThreadingHTTPServer((host, port), handler_cls)
+    return BoundedThreadingHTTPServer((host, port), handler_cls)
 
 
 def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
