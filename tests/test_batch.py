@@ -14,7 +14,7 @@ def detector():
     cfg = DetectorConfig(
         frame_batch=8, compute_dtype="float32",
         mtcnn=MTCNNConfig(
-            pnet_topk_per_scale=16, pnet_topk_total=16,
+            pnet_topk_total=16,
             rnet_capacity=8, onet_capacity=4, thresholds=(0.5, 0.3, 0.2),
         ),
     )

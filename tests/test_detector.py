@@ -15,7 +15,7 @@ def detector():
     cfg = DetectorConfig(
         frame_batch=8,
         mtcnn=MTCNNConfig(
-            pnet_topk_per_scale=64, pnet_topk_total=64,
+            pnet_topk_total=64,
             rnet_capacity=16, onet_capacity=8,
             # random weights: permissive thresholds so faces "appear"
             thresholds=(0.5, 0.3, 0.2),

@@ -27,7 +27,7 @@ def detector():
         DetectorConfig(
             frame_batch=8, compute_dtype="float32",
             mtcnn=MTCNNConfig(
-                pnet_topk_per_scale=16, pnet_topk_total=16,
+                pnet_topk_total=16,
                 rnet_capacity=8, onet_capacity=4, thresholds=(0.5, 0.3, 0.2),
             ),
         )
@@ -103,7 +103,7 @@ def test_corrected_mode_end_to_end(tmp_path):
         DetectorConfig(
             frame_batch=4, compute_dtype="float32", reference_compat=False,
             mtcnn=MTCNNConfig(
-                pnet_topk_per_scale=16, pnet_topk_total=16,
+                pnet_topk_total=16,
                 rnet_capacity=8, onet_capacity=4, thresholds=(0.5, 0.3, 0.2),
             ),
         )

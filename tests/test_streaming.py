@@ -14,7 +14,7 @@ def detector():
     cfg = DetectorConfig(
         frame_batch=8,
         mtcnn=MTCNNConfig(
-            pnet_topk_per_scale=32, pnet_topk_total=32,
+            pnet_topk_total=32,
             rnet_capacity=8, onet_capacity=4,
             thresholds=(0.5, 0.3, 0.2),
         ),

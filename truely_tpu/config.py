@@ -34,9 +34,9 @@ class MTCNNConfig:
     # (tested bit-equal on TPU); the grouped per-scale call always uses XLA.
     use_pallas_nms: bool = False
     # Fixed capacities (TPU-native replacement for dynamic box counts):
-    # top-K P-Net candidates kept per pyramid scale, after merging scales,
-    # after R-Net, and after O-Net.
-    pnet_topk_per_scale: int = 128
+    # ONE global top-K over every cell of every pyramid level (fan-in
+    # stage-1 design, see pipeline/mtcnn._stage1), then after R-Net and
+    # after O-Net.
     pnet_topk_total: int = 256
     rnet_capacity: int = 64
     onet_capacity: int = 32
