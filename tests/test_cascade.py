@@ -56,13 +56,19 @@ def oracle_detect(img_hwc_u8, pnet, rnet, onet, cfg: MTCNNConfig):
             reg_t, prob_t = pnet(nchw(norm[None]))
         prob = prob_t[0, 1].numpy()
         reg = reg_t[0].permute(1, 2, 0).numpy()  # (Hp, Wp, 4)
-        ys, xs = np.nonzero(prob >= thr[0])
+        ys, xs = np.nonzero(prob >= np.float32(thr[0]))
         if len(ys) == 0:
             continue
         score = prob[ys, xs]
         r = reg[ys, xs]
-        q1 = np.floor((2.0 * np.stack([xs, ys], 1) + 1) / lvl.scale)
-        q2 = np.floor((2.0 * np.stack([xs, ys], 1) + 12.0) / lvl.scale)
+        # Box corners in FLOAT32, matching upstream generateBoundingBox:
+        # torch promotes the int cell indices to the default f32 dtype when
+        # dividing by the python-float scale, so the floor happens in f32.
+        # numpy's default f64 here flips ~50 floors per 360p pyramid (e.g.
+        # 60/0.6 = 100.0 in f64 but 99.999996 in f32) and desyncs NMS.
+        cells = np.stack([xs, ys], 1).astype(np.float32)
+        q1 = np.floor((2.0 * cells + 1.0) / np.float32(lvl.scale))
+        q2 = np.floor((2.0 * cells + 12.0) / np.float32(lvl.scale))
         boxes = np.concatenate([q1, q2, score[:, None], r], axis=1)
         keep = oracle_nms(boxes[:, :4], boxes[:, 4], cfg.nms_thresholds[0], "union")
         boxes_all.append(boxes[keep])
@@ -78,18 +84,24 @@ def oracle_detect(img_hwc_u8, pnet, rnet, onet, cfg: MTCNNConfig):
     boxes = np.concatenate([qq, boxes[:, 4:5]], axis=1)
     boxes[:, :4] = _rerec(boxes[:, :4])
 
+    empty = (np.zeros((0, 4)), np.zeros(0), np.zeros((0, 5, 2)))
+    if len(boxes) == 0:
+        return empty
+
     # Stage 2
     crops = _crop_stage(img, boxes[:, :4], w, h, 24)
     with torch.no_grad():
         reg_t, prob_t = rnet(nchw((crops - 127.5) * 0.0078125))
     prob = prob_t[:, 1].numpy()
     reg = reg_t.numpy()
-    ipass = prob > thr[1]
+    ipass = prob > np.float32(thr[1])
     boxes = np.concatenate([boxes[ipass, :4], prob[ipass, None]], axis=1)
     reg = reg[ipass]
     keep = oracle_nms(boxes[:, :4], boxes[:, 4], cfg.nms_thresholds[2], "union")
     boxes, reg = boxes[keep], reg[keep]
     boxes[:, :4] = _rerec(_bbreg(boxes[:, :4], reg))
+    if len(boxes) == 0:
+        return empty
 
     # Stage 3
     crops = _crop_stage(img, boxes[:, :4], w, h, 48)
@@ -98,7 +110,7 @@ def oracle_detect(img_hwc_u8, pnet, rnet, onet, cfg: MTCNNConfig):
     prob = prob_t[:, 1].numpy()
     reg = reg_t.numpy()
     lmk = lmk_t.numpy()
-    ipass = prob > thr[2]
+    ipass = prob > np.float32(thr[2])
     boxes = np.concatenate([boxes[ipass, :4], prob[ipass, None]], axis=1)
     reg, lmk = reg[ipass], lmk[ipass]
     wi = boxes[:, 2] - boxes[:, 0] + 1
