@@ -94,6 +94,10 @@ def main():
     ))
     crops80 = jax.device_put(jnp.asarray(
         rng.uniform(0, 1, (batch, 80, 80, 3)), jnp.float32))
+    # ~total pyramid cell count per 1080p frame (12 levels, stride-2 P-Net)
+    n_cells = 1_500_000
+    probs_all = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (batch, n_cells)), jnp.float32))
 
     levels = pyramid_schedule(height, width, cfg.mtcnn.min_face_size,
                               cfg.mtcnn.scale_factor)
@@ -114,25 +118,32 @@ def main():
                                       dtype=dtype, precision=None)),
             frames,
         ),
+        # Tap a FULL-SUM of each level INSIDE these jits.  _tap's
+        # reshape(-1)[:8] forces a copy into the C-minor (8,128)-tiled
+        # layout, which pads channels 3 -> 128 lanes and blows HBM (a single
+        # f32 64x649x1153x3 level "copy" allocates 24.6 GB); a slice-only tap
+        # would instead let XLA dead-code-eliminate most of the resize.  A
+        # native-layout full reduction avoids both.
         "pyramid_resize": (
-            jax.jit(lambda f: [
+            jax.jit(lambda f: sum(
                 resize_area(f, (l.height, l.width),
                             precision=jax.lax.Precision.DEFAULT)
+                .astype(jnp.float32).sum()
                 for l in levels
-            ]),
+            )),
             frames,
         ),
         "pnet_trunks": (
-            jax.jit(lambda f: [
+            jax.jit(lambda f: sum(
                 apply_pnet_trunk(
                     det.params.mtcnn.pnet,
                     (resize_area(f, (l.height, l.width),
                                  precision=jax.lax.Precision.DEFAULT) - 127.5)
                     * 0.0078125,
                     dtype=dtype,
-                )[0]
+                )[0].astype(jnp.float32).sum()
                 for l in levels
-            ]),
+            )),
             frames,
         ),
         # Tap a scalar INSIDE the jit so the padded integral never becomes a
@@ -162,6 +173,17 @@ def main():
                 (f[:, :366, :1000, 0].reshape(batch, -1)).astype(jnp.float32),
                 256)[0]),
             frames,
+        ),
+        # The REAL stage-1 selection shape: one global top-k over every
+        # pyramid cell (~1.5M cells/frame at 1080p).
+        "topk_1m5": (
+            jax.jit(lambda p: jax.lax.top_k(p, 256)),
+            probs_all,
+        ),
+        "approx_topk_1m5": (
+            jax.jit(lambda p: jax.lax.approx_max_k(
+                p, 256, recall_target=0.99, aggregate_to_topk=True)),
+            probs_all,
         ),
         "facenet_b64": (
             jax.jit(lambda c: apply_inception_resnet_v1(

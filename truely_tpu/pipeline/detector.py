@@ -176,6 +176,28 @@ def _temporal_step(emb, has_face, n_valid, state, cfg: DetectorConfig):
     )
 
 
+def _upload_segments(seg_iter, depth: int = 2):
+    """Async H2D double-buffering: yield (segment, device_frames) pairs
+    while keeping up to ``depth`` segments' uploads in flight.
+
+    ``jax.device_put`` is asynchronous — it returns immediately with the
+    copy enqueued — so issuing segment N+1's upload before the host blocks
+    on segment N's results overlaps the transfer with device compute
+    (SURVEY §7 step 1: the decode thread fills pinned staging buffers, this
+    keeps the upload pipe full).  On tunnel-attached rigs the upload is the
+    dominant end-to-end cost, so the overlap is load-bearing.
+    """
+    from collections import deque
+
+    q: "deque" = deque()
+    for seg in seg_iter:
+        q.append((seg, jax.device_put(seg.sampled)))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def _enable_compilation_cache() -> None:
     """Persistent compile cache: the unrolled 1080p cascade graph takes
     minutes to compile cold (remote-compile TPU toolchain), seconds warm."""
@@ -347,9 +369,11 @@ class Detector:
                 # works on segment N while the host annotates/encodes N-1.
                 in_flight = None
                 t0 = time.perf_counter()
-                for seg in reader.segments(interval, cfg.frame_batch):
+                for seg, dev_frames in _upload_segments(
+                    reader.segments(interval, cfg.frame_batch)
+                ):
                     timings["decode"] += time.perf_counter() - t0
-                    out = self._step(self.params, jnp.asarray(seg.sampled))
+                    out = self._step(self.params, dev_frames)
                     res = self._temporal(
                         out.embedding, out.has_face, jnp.int32(seg.n_valid), state
                     )
@@ -527,10 +551,10 @@ class Detector:
             state = init_track_state(cfg.max_tracks, 512)
             frame_count = 0
             try:
-                for seg in reader.segments(interval, cfg.frame_batch):
-                    boxes, valid, emb = self._mstep(
-                        self.params, jnp.asarray(seg.sampled)
-                    )
+                for seg, dev_frames in _upload_segments(
+                    reader.segments(interval, cfg.frame_batch)
+                ):
+                    boxes, valid, emb = self._mstep(self.params, dev_frames)
                     state, outs = self._track_fold(
                         state, boxes, valid, emb, jnp.int32(seg.n_valid)
                     )
