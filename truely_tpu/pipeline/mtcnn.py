@@ -33,6 +33,7 @@ from truely_tpu.models.mtcnn_nets import (
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
 from truely_tpu.ops.resize import resize_area, crop_resize_area_mxu
+from truely_tpu.ops.topk import exact_topk_lastdim
 from truely_tpu.pipeline.pyramid import pyramid_schedule
 
 
@@ -142,7 +143,9 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     probs_all = jnp.concatenate(probs, axis=1)   # (B, N)
     feats_all = jnp.concatenate(feats, axis=1)   # (B, N, 32)
     k_total = min(cfg.pnet_topk_total, probs_all.shape[1])
-    scores, idx = jax.lax.top_k(probs_all, k_total)  # (B, K)
+    # Exact top-k via chunk-max prefilter: bit-identical to lax.top_k but
+    # ~10x faster at the 1.5M-cell 1080p shape (ops/topk.py).
+    scores, idx = exact_topk_lastdim(probs_all, k_total)  # (B, K)
     valid = scores >= cfg.thresholds[0]
 
     # Reconstruct (level, y, x) from the flat index via static tables.
