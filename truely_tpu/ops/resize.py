@@ -53,6 +53,7 @@ def resize_area(
     x: jnp.ndarray,
     out_hw: Tuple[int, int],
     precision=jax.lax.Precision.HIGHEST,
+    dtype=None,
 ) -> jnp.ndarray:
     """Exact 'area'-mode resize of (..., H, W, C) to (..., OH, OW, C).
 
@@ -61,14 +62,20 @@ def resize_area(
     pinned to HIGHEST because the TPU MXU default (bf16 inputs) would cost
     ~0.4% error on raw pixel values; pass a lower precision explicitly when
     the consumer tolerates it.
+
+    ``dtype`` sets the compute/intermediate dtype (default float32).  The
+    bf16 production cascade passes bf16: uint8 pixels are exact in bf16 and
+    halving the intermediate traffic matters (the 12-level 1080p pyramid
+    moves multiple GB per batch); parity paths keep float32.
     """
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
+    dtype = dtype or jnp.float32
     if (oh, ow) == (h, w):
-        return x.astype(jnp.float32)
-    rh = _area_matrix(h, oh)  # (OH, H)
-    rw = _area_matrix(w, ow)  # (OW, W)
-    xf = x.astype(jnp.float32)
+        return x.astype(dtype)
+    rh = _area_matrix(h, oh, dtype=dtype)  # (OH, H)
+    rw = _area_matrix(w, ow, dtype=dtype)  # (OW, W)
+    xf = x.astype(dtype)
     # (..., H, W, C) -> (..., OH, W, C): contract H.
     y = jnp.einsum("oh,...hwc->...owc", rh, xf, precision=precision)
     # (..., OH, W, C) -> (..., OH, OW, C): contract W.
