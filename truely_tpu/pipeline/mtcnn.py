@@ -143,7 +143,6 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         offset += hp * wp
 
     probs_all = jnp.concatenate(probs, axis=1)   # (B, N)
-    feats_all = jnp.concatenate(feats, axis=1)   # (B, N, 32)
     k_total = min(cfg.pnet_topk_total, probs_all.shape[1])
     # Exact top-k via chunk-max prefilter: bit-identical to lax.top_k but
     # ~10x faster at the 1.5M-cell 1080p shape (ops/topk.py).
@@ -170,7 +169,18 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         ],
         axis=-1,
     )
-    feat_sel = jnp.take_along_axis(feats_all, idx[..., None], axis=1)
+    # Gather the K selected cells' trunk features PER LEVEL: concatenating
+    # every level's features first (a (B, ~1.5M, 32) buffer at 1080p) cost
+    # ~1.5 GB of copies/dynamic-update-slices per step just to read 256
+    # rows back out.  Twelve masked (B, K, 32) gathers touch only what the
+    # regression head needs.
+    feat_sel = jnp.zeros(
+        (b, k_total, feats[0].shape[-1]), dtype=feats[0].dtype
+    )
+    for li, f in enumerate(feats):
+        local = jnp.clip(idx - offsets[li], 0, f.shape[1] - 1)
+        g = jnp.take_along_axis(f, local[..., None], axis=1)
+        feat_sel = jnp.where((lvl_id == li)[..., None], g, feat_sel)
     regs = pnet_reg_from_features(
         params.pnet, feat_sel, dtype=dtype, precision=precision
     )
