@@ -63,7 +63,10 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        height, width, batch = 1080, 1920, 64
+        # batch 128 is the measured throughput knee at 1080p (b64 536 /
+        # b96 628 / b128 639 sampled fps): XLA lays activations out with
+        # batch in the 128-lane minor dim, so b64 pads half the lanes.
+        height, width, batch = 1080, 1920, 128
         n_lo, n_hi = 2, 7
     else:  # keep the script runnable anywhere (CI, dev boxes)
         height, width, batch = 216, 384, 4
