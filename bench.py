@@ -68,6 +68,8 @@ def main():
         # batch in the 128-lane minor dim, so b64 pads half the lanes.
         height, width, batch = 1080, 1920, 128
         n_lo, n_hi = 2, 7
+        if "--batch" in sys.argv:
+            batch = int(sys.argv[sys.argv.index("--batch") + 1])
     else:  # keep the script runnable anywhere (CI, dev boxes)
         height, width, batch = 216, 384, 4
         n_lo, n_hi = 1, 3

@@ -76,6 +76,10 @@ def main():
     from truely_tpu.pipeline.pyramid import pyramid_schedule
 
     batch, height, width = 64, 1080, 1920
+    if "--batch" in sys.argv:
+        i = sys.argv.index("--batch")
+        batch = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     cfg = DetectorConfig(frame_batch=batch)
     det = Detector(cfg)
     dtype = jnp.dtype(cfg.compute_dtype)

@@ -294,3 +294,33 @@ def test_cascade_oracle_parity_720p_production_capacities():
         np.testing.assert_allclose(
             boxes[b, order_g], eb[order_e], atol=0.05, rtol=1e-4)
     assert any_detections, "no detections on any frame — retune thresholds"
+
+
+def test_cascade_bf16_production_path_runs_and_is_sane():
+    """Execution coverage for the bf16 production path (precision=None:
+    int8-MXU pyramid resample via resize_area_u8, int8 stage crops, bf16
+    convs) that TPU production takes but the f32-pinned parity tests never
+    exercise.  The numeric pieces are exactness-tested individually
+    (test_resize: resize_area_u8 integer means, crop_resize_area_mxu
+    bit-exact); here the assembled path must run and produce sane,
+    in-frame, finite detections.
+    """
+    # Zero thresholds: random stage nets emit probs in a narrow band (e.g.
+    # 0.545-0.557 for this seed), so any positive threshold is flaky.
+    cfg = MTCNNConfig(thresholds=(0.0, 0.0, 0.0), nms_max_rounds=0)
+    _, params = make_nets_and_params(5)
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(2, 73, 97, 3), dtype=np.uint8)
+
+    det = detect_faces(params, jnp.asarray(frames), cfg,
+                       dtype=jnp.bfloat16, precision=None)
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    valid = np.asarray(det.valid)
+    assert valid.any(), "low thresholds on random nets should detect"
+    assert np.isfinite(boxes[valid]).all()
+    assert np.isfinite(scores[valid]).all()
+    assert (scores[valid] > 0).all() and (scores[valid] <= 1).all()
+    # Random O-Net regression weights emit wild offsets, so box ordering
+    # is not guaranteed here; landmarks and boxes must just be finite.
+    assert np.isfinite(np.asarray(det.landmarks)[valid]).all()

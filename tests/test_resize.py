@@ -100,3 +100,61 @@ def test_integral_image_exact():
     # random rectangle
     s = integ[0, 20, 30, 1] - integ[0, 5, 30, 1] - integ[0, 20, 8, 1] + integ[0, 5, 8, 1]
     assert s == x[0, 5:20, 8:30, 1].sum()
+
+
+def test_crop_resize_area_mxu_bit_exact_with_integral():
+    """The MXU bin-indicator formulation (int8 first pass on uint8 frames,
+    shifted pixels, exact int32 bin sums) must be BIT-EXACT with the
+    integral-image formulation on uint8 frames, for both 24 and 48 px
+    stage-crop sizes, including degenerate and full-frame boxes."""
+    from truely_tpu.ops.resize import crop_resize_area_mxu
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(2, 90, 120, 3), dtype=np.uint8)
+    bounds = np.array(
+        [
+            [[5, 10, 53, 70], [0, 0, 120, 90], [7, 7, 8, 8]],
+            [[100, 80, 120, 90], [3, 3, 3, 3], [0, 0, 24, 24]],
+        ],
+        dtype=np.int32,
+    )
+    integ = integral_image(jnp.asarray(frames))
+    for o in (24, 48):
+        ref = np.asarray(crop_resize_area(integ, jnp.asarray(bounds), o))
+        got = np.asarray(
+            crop_resize_area_mxu(jnp.asarray(frames), jnp.asarray(bounds), o)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("hw,ohw", [
+    ((360, 640), (216, 384)),
+    ((101, 57), (72, 41)),
+    ((649, 115), (460, 82)),   # odd sizes, 1080p-bucket-like ratios
+])
+def test_resize_area_u8_exact_integer_means(hw, ohw):
+    """The int8-MXU pyramid resample must produce, for every output pixel,
+    the exact bin mean rounded once to bf16 (the f32 two-pass rounds every
+    intermediate instead, so compare against an exact numpy integer-sum
+    oracle, not resize_area)."""
+    from truely_tpu.ops.resize import resize_area_u8
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, size=(2, *hw, 3), dtype=np.uint8)
+    got = np.asarray(resize_area_u8(jnp.asarray(x), ohw)).astype(np.float32)
+
+    h, w = hw
+    oh, ow = ohw
+    expect = np.zeros((2, oh, ow, 3), np.float32)
+    for i in range(oh):
+        ys = (i * h) // oh
+        ye = -((-(i + 1) * h) // oh)
+        for j in range(ow):
+            xs = (j * w) // ow
+            xe = -((-(j + 1) * w) // ow)
+            bin_sum = x[:, ys:ye, xs:xe].astype(np.int64).sum(axis=(1, 2))
+            # f32 division to match the kernel's single f32 divide exactly
+            expect[:, i, j] = bin_sum.astype(np.float32) / np.float32(
+                (ye - ys) * (xe - xs))
+    expect_bf16 = jnp.asarray(expect).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(got, np.asarray(expect_bf16).astype(np.float32))

@@ -82,6 +82,61 @@ def resize_area(
     return jnp.einsum("pw,...owc->...opc", rw, y, precision=precision)
 
 
+def _sum_matrix(in_size: int, out_size: int, dtype) -> Tuple[jnp.ndarray, np.ndarray]:
+    """0/1 bin-membership matrix (out_size, in_size) + f32 bin widths."""
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    widths = np.zeros((out_size,), dtype=np.float32)
+    for i in range(out_size):
+        s = (i * in_size) // out_size
+        e = -((-(i + 1) * in_size) // out_size)  # ceil
+        mat[i, s:e] = 1.0
+        widths[i] = e - s
+    return jnp.asarray(mat, dtype=dtype), widths
+
+
+def resize_area_u8(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Area resize of uint8 frames on the int8 MXU path (2x bf16 peak).
+
+    Same bin semantics as :func:`resize_area`, but every bin sum is an
+    EXACT integer: pixels are shifted by -128 into int8, the H-pass
+    contracts with a 0/1 int8 indicator into int32, the W-pass splits the
+    (|y| <= 128*bin_h) int32 rows into hi/lo int8 halves (y = hi*128 + lo)
+    and contracts each on the int8 MXU, and the shift is undone on the
+    exact integer sum before ONE final division by the bin area.  The only
+    rounding anywhere is that division and the cast of the result to
+    bfloat16 -- strictly tighter than the bf16 two-pass averaging (which
+    rounds every intermediate).  Requires bin heights <= 127 (any pyramid
+    schedule; asserts otherwise).
+
+    x: (B, H, W, C) uint8.  Returns (B, OH, OW, C) bfloat16.
+    """
+    assert x.dtype == jnp.uint8, x.dtype
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    sh, wh = _sum_matrix(h, oh, jnp.int8)    # (OH, H), bin heights
+    sw, ww = _sum_matrix(w, ow, jnp.int8)    # (OW, W), bin widths
+    assert wh.max() <= 127 and ww.max() <= 127, "bin span exceeds int8 split"
+    x8 = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+    # H-pass: exact int32 row sums, |y| <= 128 * max bin height.
+    y = jnp.einsum(
+        "oh,...hwc->...owc", sh, x8, preferred_element_type=jnp.int32
+    )
+    # W-pass: split y into int8 halves so both contractions ride the int8
+    # MXU and the recombined sum stays exact.
+    hi = (y >> 7).astype(jnp.int8)
+    lo = (y - ((y >> 7) << 7)).astype(jnp.int8)   # in [0, 127]
+    zhi = jnp.einsum(
+        "pw,...owc->...opc", sw, hi, preferred_element_type=jnp.int32
+    )
+    zlo = jnp.einsum(
+        "pw,...owc->...opc", sw, lo, preferred_element_type=jnp.int32
+    )
+    z = (zhi << 7) + zlo                          # exact sum of (x - 128)
+    area = jnp.asarray(wh[:, None] * ww[None, :], jnp.float32)  # (OH, OW)
+    mean = (z.astype(jnp.float32) + 128.0 * area[..., None]) / area[..., None]
+    return mean.astype(jnp.bfloat16)
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """cv2.INTER_LINEAR-style resize of (..., H, W, C) with static sizes,
     as two separable interpolation matmuls (MXU-friendly)."""
@@ -219,10 +274,15 @@ def crop_resize_area_mxu(
 
     Replaces the integral-image + gather formulation on TPU: gathers run
     ~45 GB/s there while this is pure batched matmul.  Bit-exact with
-    :func:`crop_resize_area`: uint8 pixels are exact in bf16, the MXU
-    accumulates in f32, and the largest bin sum (255 * ceil(H/O) *
-    ceil(W/O) at 1080p/24 = ~918k) stays below 2^24, so every bin sum is
-    an exact integer before the final f32 division by the bin area.
+    :func:`crop_resize_area`: for uint8 frames the W-contraction runs on
+    the int8 MXU path (2x bf16 peak) over shifted pixels (x - 128 fits
+    int8; the shift is undone after the area division, exactly, since
+    area-resize of a constant is that constant) with exact int32 bin
+    sums; the H-contraction accumulates in f32 where the largest bin sum
+    (128 * ceil(H/O) * ceil(W/O) at 1080p/24 = ~460k) stays below 2^24,
+    so every bin sum is an exact integer before the final division.
+    Non-uint8 frames fall back to the bf16 formulation (also exact for
+    pixel-valued inputs: uint8 pixels are exact in bf16).
 
     frames: (B, H, W, C) uint8.  bounds: (B, K, 4) int32 half-open pixel
     bounds (x0, y0, x1, y1), already clipped to the frame.
@@ -233,20 +293,35 @@ def crop_resize_area_mxu(
     b, c, h, w = frames.shape
     k = bounds.shape[1]
     o = out_size
+    use_int8 = frames.dtype == jnp.uint8
     x0, y0, x1, y1 = (bounds[..., i] for i in range(4))
     sy, ey = _bin_edges(y0[..., None], (y1 - y0)[..., None], o)
     sx, ex = _bin_edges(x0[..., None], (x1 - x0)[..., None], o)
     # Indicators generated bins-first so H/W stay the minor (lane) dims:
     # a C- or O-minor intermediate would be lane-padded to 128 (up to 42x).
     ybin = _bin_indicator(sy, ey, h, o, jnp.float32, bins_first=True)
-    xbin = _bin_indicator(sx, ex, w, o, dtype, bins_first=True)
-    # Contract W: (B, K*O, W) x (B, C, H, W) -> (B, K, O, C, H).
-    cols = jax.lax.dot_general(
-        xbin.reshape(b, k * o, w),
-        frames.astype(dtype),
-        dimension_numbers=(((2,), (3,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(b, k, o, c, h)
+    if use_int8:
+        # int8 MXU path (2x bf16 peak), still exact: uint8 pixels shifted
+        # by -128 fit int8, the 0/1 indicator is int8, bin sums accumulate
+        # in int32 exactly, and the shift is undone by adding back 128
+        # after the area division (area-resize of a constant is itself).
+        xbin = _bin_indicator(sx, ex, w, o, jnp.int8, bins_first=True)
+        pix = (frames.astype(jnp.int32) - 128).astype(jnp.int8)
+        cols = jax.lax.dot_general(
+            xbin.reshape(b, k * o, w),
+            pix,
+            dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).reshape(b, k, o, c, h).astype(jnp.float32)
+    else:
+        xbin = _bin_indicator(sx, ex, w, o, dtype, bins_first=True)
+        # Contract W: (B, K*O, W) x (B, C, H, W) -> (B, K, O, C, H).
+        cols = jax.lax.dot_general(
+            xbin.reshape(b, k * o, w),
+            frames.astype(dtype),
+            dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, k, o, c, h)
     # Contract H per (B, K): (B, K, O, C, H) x (B, K, O, H) -> (B, K, O, C, O).
     # Column sums exceed bf16's exact-integer range (~2^8), so this (much
     # smaller) contraction runs in f32 at HIGHEST precision: the 3-way bf16
@@ -263,9 +338,14 @@ def crop_resize_area_mxu(
     area = ((ey - sy)[..., :, None] * (ex - sx)[..., None, :]).astype(
         jnp.float32
     )  # (B, K, O, O)
-    return jnp.where(
-        area[..., None] > 0, sums / jnp.maximum(area, 1.0)[..., None], 0.0
-    )
+    if use_int8:
+        # Undo the pixel shift BEFORE the division: sums and 128*area are
+        # both exact f32 integers (< 2^24), so their sum is the exact
+        # unshifted bin sum and the division rounds identically to the
+        # integral-image formulation (bit-exact).
+        sums = sums + 128.0 * area[..., None]
+    mean = sums / jnp.maximum(area, 1.0)[..., None]
+    return jnp.where(area[..., None] > 0, mean, 0.0)
 
 
 # ---------------------------------------------------------------------------

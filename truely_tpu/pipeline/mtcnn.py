@@ -32,7 +32,9 @@ from truely_tpu.models.mtcnn_nets import (
 )
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
-from truely_tpu.ops.resize import resize_area, crop_resize_area_mxu
+from truely_tpu.ops.resize import (
+    resize_area, resize_area_u8, crop_resize_area_mxu,
+)
 from truely_tpu.ops.topk import exact_topk_lastdim
 from truely_tpu.pipeline.pyramid import pyramid_schedule
 
@@ -121,16 +123,26 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     probs, feats = [], []
     offsets, wps, scales = [], [], []
     offset = 0
+    use_i8_resize = (
+        precision is None
+        and frames.dtype == jnp.uint8
+        and jnp.dtype(dtype) == jnp.bfloat16
+    )
     for lvl in levels:
-        # Pyramid resample precision/dtype follows the net precision: uint8
-        # pixels are exact in bf16, so the production path (precision=None)
-        # resizes in bf16 end-to-end (<=0.4% error, half the intermediate
-        # HBM traffic); parity tests pass HIGHEST and keep float32.
-        scaled = resize_area(
-            frames, (lvl.height, lvl.width),
-            precision=precision if precision is not None else jax.lax.Precision.DEFAULT,
-            dtype=None if precision is not None else dtype,
-        )
+        # Pyramid resample follows the net precision.  The bf16 production
+        # path (precision=None) resamples uint8 frames on the int8 MXU
+        # (ops/resize.resize_area_u8): 2x the bf16 matmul rate AND exact
+        # integer bin sums (the old bf16 two-pass averaged with <=0.4%
+        # rounding).  Parity paths pass HIGHEST and keep the float32
+        # two-pass that is bit-matched against torch.
+        if use_i8_resize:
+            scaled = resize_area_u8(frames, (lvl.height, lvl.width))
+        else:
+            scaled = resize_area(
+                frames, (lvl.height, lvl.width),
+                precision=precision if precision is not None else jax.lax.Precision.DEFAULT,
+                dtype=None if precision is not None else dtype,
+            )
         prob, feat = apply_pnet_trunk(
             params.pnet, _normalize(scaled), dtype=dtype, precision=precision
         )
