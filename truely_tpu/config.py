@@ -33,6 +33,14 @@ class MTCNNConfig:
     # (ops/nms_pallas.py) instead of the XLA fixpoint.  Identical results
     # (tested bit-equal on TPU); the grouped per-scale call always uses XLA.
     use_pallas_nms: bool = False
+    # Run the R-Net/O-Net stage crops through the fused Pallas kernel
+    # (ops/crop_area_fused.py): the exact column-sum intermediate stays in
+    # VMEM instead of round-tripping HBM.  Bit-exact with the XLA path
+    # (tested), but measured SLOWER at 1080p b128 (78 vs 46 ms for K=64
+    # O=24; 101 vs 53 ms for K=32 O=48): the all-pairs second contraction
+    # writes ~0.9 GB and the per-tile int8->bf16 converts run on the VPU.
+    # Kept as an opt-in reference implementation.  TPU-only; ignored on CPU.
+    use_fused_crops: bool = False
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # ONE global top-K over every cell of every pyramid level (fan-in
     # stage-1 design, see pipeline/mtcnn._stage1), then after R-Net and

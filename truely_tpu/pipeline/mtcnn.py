@@ -31,6 +31,9 @@ from truely_tpu.models.mtcnn_nets import (
     apply_pnet_trunk, apply_rnet, apply_onet, pnet_reg_from_features,
 )
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
+from truely_tpu.ops.crop_area_fused import (
+    crop_resize_area_fused, prep_frames_for_fused_crops,
+)
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
 from truely_tpu.ops.resize import (
     resize_area, resize_area_u8, crop_resize_area_mxu,
@@ -217,13 +220,20 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     return boxes, scores, valid
 
 
-def _stage_crops(frames_chw, boxes, width, height, out_size, dtype):
+def _stage_crops(frames_chw, boxes, width, height, out_size, dtype,
+                 frames_fused=None):
     """Exact area crop-resize of stage boxes straight from the uint8 frames.
 
     MXU bin-indicator matmuls (ops/resize.crop_resize_area_mxu) — bit-exact
     with the integral-image formulation but ~8x faster on TPU, where XLA
-    gathers run far below HBM bandwidth."""
+    gathers run far below HBM bandwidth.  When ``frames_fused`` (prepped
+    planar int8 frames) is given, the fused Pallas kernel
+    (ops/crop_area_fused.py) computes the same result without the HBM
+    round-trip of the column-sum intermediate — also bit-exact."""
     bounds = pad_crop_bounds(boxes, width, height)
+    if frames_fused is not None:
+        return crop_resize_area_fused(
+            frames_fused, bounds, out_size, src_hw=(height, width))
     return crop_resize_area_mxu(frames_chw, bounds, out_size, dtype=dtype)
 
 
@@ -249,11 +259,18 @@ def detect_faces(
     # (H/W must be the minor dims; C-minor intermediates lane-pad 3 -> 128).
     frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
     crop_dtype = jnp.float32 if precision is not None else dtype
+    # Prepped planar frames for the fused Pallas crop kernel, shared by
+    # both stages (one transpose+shift pass).  TPU-only: interpret-mode
+    # Pallas on CPU would be far slower than the XLA matmul path.
+    frames_fused = None
+    if cfg.use_fused_crops and jax.default_backend() == "tpu":
+        frames_fused = prep_frames_for_fused_crops(frames_chw)
 
     # ---- Stage 2: R-Net on 24x24 crops -----------------------------------
     k2 = min(cfg.rnet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k2, boxes)
-    crops = _stage_crops(frames_chw, boxes, w, h, 24, crop_dtype)
+    crops = _stage_crops(frames_chw, boxes, w, h, 24, crop_dtype,
+                         frames_fused=frames_fused)
     flat = _normalize(crops.reshape(b * k2, 24, 24, 3))
     prob, reg = apply_rnet(params.rnet, flat, dtype=dtype, precision=precision)
     prob = prob.reshape(b, k2)
@@ -269,7 +286,8 @@ def detect_faces(
     # ---- Stage 3: O-Net on 48x48 crops ------------------------------------
     k3 = min(cfg.onet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k3, boxes)
-    crops = _stage_crops(frames_chw, boxes, w, h, 48, crop_dtype)
+    crops = _stage_crops(frames_chw, boxes, w, h, 48, crop_dtype,
+                         frames_fused=frames_fused)
     flat = _normalize(crops.reshape(b * k3, 48, 48, 3))
     prob, reg, lmk = apply_onet(params.onet, flat, dtype=dtype, precision=precision)
     prob = prob.reshape(b, k3)
