@@ -72,8 +72,9 @@ async function onSubmit(event) {
         await saveSession(data.session);
         window.location.href = "popup.html";
       } else {
-        setMessage("Check your email to verify the account, then sign in.", true);
+        // Switch first: switchMode clears the message area.
         switchMode("login");
+        setMessage("Check your email to verify the account, then sign in.", true);
       }
     }
   } catch (err) {
