@@ -327,7 +327,10 @@ class FakeFetch:
         req = urllib.request.Request(url, data=data, headers=headers,
                                      method=call["method"])
         try:
-            with urllib.request.urlopen(req, timeout=30) as resp:
+            # Generous timeout: the live-server tests run a real analysis
+            # on this container's single CPU core, where a concurrent
+            # pytest process can stretch a ~5 s request past 30 s.
+            with urllib.request.urlopen(req, timeout=180) as resp:
                 return resp.status, _json.loads(resp.read().decode())
         except urllib.error.HTTPError as e:
             try:

@@ -41,6 +41,14 @@ class MTCNNConfig:
     # writes ~0.9 GB and the per-tile int8->bf16 converts run on the VPU.
     # Kept as an opt-in reference implementation.  TPU-only; ignored on CPU.
     use_fused_crops: bool = False
+    # Run the P-Net trunk in the width-folded layout (ops/fold.py): F=4
+    # adjacent pixels fold into channels so the 3/10/16/32-channel convs
+    # become 12->40/40->64/64->128-channel convs that reach real MXU
+    # utilization, at a 2.67x FLOP inflation that nets out ~3x faster on
+    # TPU.  Production (precision=None) paths only — parity paths pinned
+    # to f32/HIGHEST keep the direct trunk, whose contraction order the
+    # torch oracles are bit-matched against.
+    use_folded_pnet: bool = True
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # ONE global top-K over every cell of every pyramid level (fan-in
     # stage-1 design, see pipeline/mtcnn._stage1), then after R-Net and

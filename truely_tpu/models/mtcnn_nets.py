@@ -69,6 +69,159 @@ def apply_pnet_trunk(
     return prob, h
 
 
+def apply_pnet_trunk_folded(
+    params: dict,
+    x: jnp.ndarray,
+    width: int,
+    *,
+    fold: int = 4,
+    dtype: Optional[jnp.dtype] = None,
+    precision=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """P-Net trunk on width-folded input (ops/fold.py): same math as
+    :func:`apply_pnet_trunk`, but the W axis is packed F pixels deep into
+    channels so every conv runs at MXU-shaped channel counts (12->40,
+    40->64, 64->128) instead of the 1-3%-utilization 3/10/16/32-channel
+    originals.  ~3x faster at 1080p b128 despite the 2.67x FLOP inflation
+    of the banded folded kernels.
+
+    ``x`` is the folded NORMALIZED level, (B, H, ceil(W/F), F*3);
+    ``width`` is the true (unpadded) pixel width of the level.
+
+    Returns ``(prob, reg)`` where prob is (B, H', S) over S = W_b * F
+    slots — slot index IS the output pixel x, garbage tail slots forced to
+    -1.0 — and reg is the folded conv4_2 regression grid (B, H', W_b, F*4)
+    whose row for slot s is s // F with channels [ (s % F)*4 : +4 ].
+    """
+    from truely_tpu.ops.fold import (
+        fold_conv_weights, fold_pointwise_weights, pool_pair_perm,
+        tile_phase,
+    )
+
+    assert fold % 2 == 0, "phase-pair pooling needs an even fold"
+    b, rows, wb, _ = x.shape
+
+    # bf16 production paths accumulate on the MXU and emit bf16 directly
+    # (halving every inter-stage HBM pass); dtype=None keeps f32 outputs so
+    # the CPU exactness tests against the direct trunk stay tight.
+    acc_t = jnp.float32 if dtype is None else jnp.dtype(dtype)
+
+    def folded(name, out_perm=None):
+        w, bias = fold_conv_weights(
+            params[name]["w"], params[name]["b"], fold
+        )
+        if out_perm is not None:
+            w, bias = w[..., out_perm], bias[out_perm]
+        return w, bias
+
+    def alpha(name, out_perm=None):
+        a = tile_phase(params[name]["alpha"], fold)
+        return a if out_perm is None else a[out_perm]
+
+    def convp(xx, wb_, act=None, wpad=0, acc=None):
+        """Folded conv with the right-block pad folded INTO the conv and
+        bias+PReLU chained directly on the output so XLA fuses them into
+        one pass (separate pad/prelu ops each cost a full HBM round trip
+        over these frame-sized tensors)."""
+        w, bias = wb_
+        if dtype is not None:
+            xx = xx.astype(dtype)
+            w = w.astype(dtype)
+        out = jax.lax.conv_general_dilated(
+            xx, w, window_strides=(1, 1),
+            padding=((0, 0), (0, wpad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=acc or acc_t,
+            precision=precision,
+        )
+        out = out + bias.astype(out.dtype)
+        if act is not None:
+            out = jnp.where(out > 0, out, act.astype(out.dtype) * out)
+        return out
+
+    # conv1 (3x3 valid -> folded 3x2-block; right pad inside the conv so
+    # the last output block sees a full window).  Output channels come out
+    # in (i, j, c) pool-pair order (phase p = 2j + i) so the width pool
+    # below is a contiguous-half maximum — no masks, no strided slices
+    # (those lower to gather while-loops here), no lane-regrouping reshape.
+    # The conv's right pad also rounds the output block count up to EVEN,
+    # so the block-pair merge below needs no separate pad op (a full HBM
+    # pass over the biggest tensor in the pipeline).
+    perm1 = pool_pair_perm(10, fold)
+    h = convp(
+        x, folded("conv1", perm1), alpha("prelu1", perm1),
+        wpad=1 + (wb % 2),
+    )
+    w1 = width - 2                       # valid conv1 output pixels
+    half = (fold // 2) * 10
+
+    # 2x2 ceil max-pool, height half first (it halves the tensor the width
+    # ops then touch).
+    r1 = rows - 2
+    r2 = (r1 + 1) // 2
+    h = jax.lax.reduce_window(
+        h, -float("inf"), jax.lax.max,
+        window_dimensions=(1, 2, 1, 1), window_strides=(1, 2, 1, 1),
+        padding=((0, 0), (0, 2 * r2 - r1), (0, 0), (0, 0)),
+    )
+    # Width half: pooled pixel j of block bx is max(phase 2j, phase 2j+1)
+    # = max of the two channel halves.  Garbage tail slots (>= w1) stay
+    # un-masked: wholly-garbage pooled slots are finite and provably never
+    # reach a valid conv2/conv3 output (slot s of a later stage reads only
+    # slots s..s+2, all inside the previous stage's valid range) — only
+    # the ceil boundary slot when w1 is odd mixes garbage into a REAL
+    # slot, fixed pointwise below.
+    hi = h[..., half:]
+    if w1 % 2:
+        # Pooled pixel (w1-1)//2 covers only conv1 pixel w1-1 (ceil): mask
+        # its pair partner (phase w1, the first garbage slot — always in
+        # the i=1 half) to -inf so the pair max degenerates to the single
+        # valid pixel.  The mask is a trace-time constant and the where
+        # fuses into the maximum — a scatter here copied the whole tensor.
+        import numpy as np_
+
+        s = w1 - 1
+        bx, j = s // fold, (s % fold) // 2
+        keep = np_.ones((h.shape[2], half), bool)
+        keep[bx, j * 10 : (j + 1) * 10] = False
+        hi = jnp.where(jnp.asarray(keep)[None, None], hi, -float("inf"))
+    m = jnp.maximum(h[..., :half], hi)
+    wb2 = m.shape[2] // 2
+    # Block-pair merge: (.., 2 blocks, (j, c)) -> fold*10 channels in
+    # pooled-pixel-major (a*2 + j, c) order — exactly phase-major again.
+    pooled = m.reshape(b, r2, wb2, fold * 10)
+
+    h = convp(pooled, folded("conv2"), alpha("prelu2"), wpad=1)
+    feat = convp(h, folded("conv3"), alpha("prelu3"), wpad=1)
+
+    cls = convp(
+        feat,
+        fold_pointwise_weights(
+            params["conv4_1"]["w"], params["conv4_1"]["b"], fold
+        ),
+        acc=jnp.float32,
+    ).astype(jnp.float32)
+    # The regression head runs over the whole grid too: at 16 folded
+    # channels it is ~100x smaller than returning the 128-channel trunk
+    # features for a downstream gather (which cost a 1.5 GB layout copy at
+    # 1080p b128), and the per-cell math is identical to gathering
+    # features and applying the 1x1 head afterwards.
+    reg = convp(
+        feat,
+        fold_pointwise_weights(
+            params["conv4_2"]["w"], params["conv4_2"]["b"], fold
+        ),
+        acc=jnp.float32,
+    ).astype(jnp.float32)
+    hp, wb3 = cls.shape[1], cls.shape[2]
+    prob = jax.nn.softmax(cls.reshape(b, hp, wb3, fold, 2), axis=-1)[..., 1]
+    # Garbage slots get -1 (not 0) so zero-threshold configs still reject.
+    w3 = (w1 + 1) // 2 - 4               # valid conv3 output pixels
+    slot_ok = (jnp.arange(wb3 * fold).reshape(wb3, fold) < w3)[None, None]
+    prob = jnp.where(slot_ok, prob, -1.0).reshape(b, hp, wb3 * fold)
+    return prob, reg
+
+
 def pnet_reg_from_features(
     params: dict,
     feat: jnp.ndarray,

@@ -28,8 +28,10 @@ import jax.numpy as jnp
 
 from truely_tpu.config import MTCNNConfig
 from truely_tpu.models.mtcnn_nets import (
-    apply_pnet_trunk, apply_rnet, apply_onet, pnet_reg_from_features,
+    apply_pnet_trunk, apply_pnet_trunk_folded, apply_rnet, apply_onet,
+    pnet_reg_from_features,
 )
+from truely_tpu.ops.fold import fold_width, phase_select
 from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
 from truely_tpu.ops.crop_area_fused import (
     crop_resize_area_fused, prep_frames_for_fused_crops,
@@ -40,6 +42,12 @@ from truely_tpu.ops.resize import (
 )
 from truely_tpu.ops.topk import exact_topk_lastdim
 from truely_tpu.pipeline.pyramid import pyramid_schedule
+
+
+# Width-fold factor for the folded P-Net trunk (ops/fold.py): 4 packs the
+# trunk's channels to 40/64/128 — MXU-shaped — while keeping the banded
+# kernels at 2 blocks wide (FLOP inflation 2*4/3 = 2.67x per 3-tap conv).
+PNET_FOLD = 4
 
 
 class MTCNNParams(NamedTuple):
@@ -131,6 +139,10 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         and frames.dtype == jnp.uint8
         and jnp.dtype(dtype) == jnp.bfloat16
     )
+    # Folded trunk on production paths only: the f32/HIGHEST parity paths
+    # keep the direct trunk whose contraction order matches the torch
+    # oracles bit-for-bit.
+    use_folded = cfg.use_folded_pnet and precision is None
     for lvl in levels:
         # Pyramid resample follows the net precision.  The bf16 production
         # path (precision=None) resamples uint8 frames on the int8 MXU
@@ -146,12 +158,28 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
                 precision=precision if precision is not None else jax.lax.Precision.DEFAULT,
                 dtype=None if precision is not None else dtype,
             )
-        prob, feat = apply_pnet_trunk(
-            params.pnet, _normalize(scaled), dtype=dtype, precision=precision
-        )
-        hp, wp = prob.shape[1], prob.shape[2]
+        if use_folded:
+            # Width-folded trunk (ops/fold.py): slot index == pixel x, so
+            # wp is the padded slot count and the flat-cell decode below
+            # is unchanged; garbage tail slots carry prob = -1.  The trunk
+            # returns the (tiny) folded regression grid instead of trunk
+            # features — identical per-cell math, ~30x less HBM.
+            prob, reg = apply_pnet_trunk_folded(
+                params.pnet, _normalize(fold_width(scaled, PNET_FOLD)),
+                lvl.width, fold=PNET_FOLD, dtype=dtype, precision=precision,
+            )
+            hp, wp = prob.shape[1], prob.shape[2]
+            feats.append(
+                reg.reshape(b, hp * reg.shape[2], reg.shape[-1])
+            )
+        else:
+            prob, feat = apply_pnet_trunk(
+                params.pnet, _normalize(scaled), dtype=dtype,
+                precision=precision,
+            )
+            hp, wp = prob.shape[1], prob.shape[2]
+            feats.append(feat.reshape(b, hp * wp, feat.shape[-1]))
         probs.append(prob.reshape(b, hp * wp))
-        feats.append(feat.reshape(b, hp * wp, feat.shape[-1]))
         offsets.append(offset)
         wps.append(wp)
         scales.append(lvl.scale)
@@ -189,16 +217,28 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     # ~1.5 GB of copies/dynamic-update-slices per step just to read 256
     # rows back out.  Twelve masked (B, K, 32) gathers touch only what the
     # regression head needs.
-    feat_sel = jnp.zeros(
-        (b, k_total, feats[0].shape[-1]), dtype=feats[0].dtype
-    )
-    for li, f in enumerate(feats):
-        local = jnp.clip(idx - offsets[li], 0, f.shape[1] - 1)
-        g = jnp.take_along_axis(f, local[..., None], axis=1)
-        feat_sel = jnp.where((lvl_id == li)[..., None], g, feat_sel)
-    regs = pnet_reg_from_features(
-        params.pnet, feat_sel, dtype=dtype, precision=precision
-    )
+    if use_folded:
+        # The folded trunk already ran the 1x1 regression head over the
+        # grid (identical math); gather the 4 offsets for the K selected
+        # cells: slot s lives at folded row s // F, channels (s % F)*4.
+        regs = jnp.zeros((b, k_total, 4), jnp.float32)
+        for li, f in enumerate(feats):
+            flat = idx - offsets[li]
+            local = jnp.clip(flat // PNET_FOLD, 0, f.shape[1] - 1)
+            g = jnp.take_along_axis(f, local[..., None], axis=1)
+            g = phase_select(g, jnp.remainder(flat, PNET_FOLD), 4, PNET_FOLD)
+            regs = jnp.where((lvl_id == li)[..., None], g, regs)
+    else:
+        feat_sel = jnp.zeros(
+            (b, k_total, feats[0].shape[-1]), dtype=feats[0].dtype
+        )
+        for li, f in enumerate(feats):
+            local = jnp.clip(idx - offsets[li], 0, f.shape[1] - 1)
+            g = jnp.take_along_axis(f, local[..., None], axis=1)
+            feat_sel = jnp.where((lvl_id == li)[..., None], g, feat_sel)
+        regs = pnet_reg_from_features(
+            params.pnet, feat_sel, dtype=dtype, precision=precision
+        )
 
     # Per-scale NMS 0.5: same-level pairs only (grouped), then cross-scale
     # NMS 0.7 over everything.
