@@ -136,7 +136,13 @@ def apply_pnet_trunk_folded(
         )
         out = out + bias.astype(out.dtype)
         if act is not None:
-            out = jnp.where(out > 0, out, act.astype(out.dtype) * out)
+            # PReLU as max(x,0) + a*min(x,0): bit-identical to the
+            # where-form (the a*x product only survives where x < 0) and
+            # expressed in ops XLA fuses into the conv epilogue, where the
+            # where-form ran as its own full HBM pass.
+            out = jnp.maximum(out, 0) + act.astype(out.dtype) * jnp.minimum(
+                out, 0
+            )
         return out
 
     # conv1 (3x3 valid -> folded 3x2-block; right pad inside the conv so
@@ -194,27 +200,29 @@ def apply_pnet_trunk_folded(
     h = convp(pooled, folded("conv2"), alpha("prelu2"), wpad=1)
     feat = convp(h, folded("conv3"), alpha("prelu3"), wpad=1)
 
-    cls = convp(
+    # Both 1x1 heads in ONE conv so the (large) trunk activation is read
+    # once.  The two-class softmax collapses to sigmoid(z1 - z0), so the
+    # classifier contributes a single difference channel per phase:
+    # channels [0:fold] are the fold logit differences, [fold:] the
+    # fold*4 regression offsets.  The reg grid returned here is ~100x
+    # smaller than returning 128-channel trunk features for a downstream
+    # gather (which cost a 1.5 GB layout copy at 1080p b128), with
+    # identical per-cell math.
+    w41, b41 = params["conv4_1"]["w"], params["conv4_1"]["b"]
+    wdiff = (w41[..., 1:2] - w41[..., 0:1], b41[1:2] - b41[0:1])
+    wdf, bdf = fold_pointwise_weights(wdiff[0], wdiff[1], fold)
+    wrf, brf = fold_pointwise_weights(
+        params["conv4_2"]["w"], params["conv4_2"]["b"], fold
+    )
+    heads = convp(
         feat,
-        fold_pointwise_weights(
-            params["conv4_1"]["w"], params["conv4_1"]["b"], fold
-        ),
+        (jnp.concatenate([wdf, wrf], axis=-1),
+         jnp.concatenate([bdf, brf])),
         acc=jnp.float32,
     ).astype(jnp.float32)
-    # The regression head runs over the whole grid too: at 16 folded
-    # channels it is ~100x smaller than returning the 128-channel trunk
-    # features for a downstream gather (which cost a 1.5 GB layout copy at
-    # 1080p b128), and the per-cell math is identical to gathering
-    # features and applying the 1x1 head afterwards.
-    reg = convp(
-        feat,
-        fold_pointwise_weights(
-            params["conv4_2"]["w"], params["conv4_2"]["b"], fold
-        ),
-        acc=jnp.float32,
-    ).astype(jnp.float32)
-    hp, wb3 = cls.shape[1], cls.shape[2]
-    prob = jax.nn.softmax(cls.reshape(b, hp, wb3, fold, 2), axis=-1)[..., 1]
+    reg = heads[..., fold:]
+    hp, wb3 = heads.shape[1], heads.shape[2]
+    prob = jax.nn.sigmoid(heads[..., :fold])
     # Garbage slots get -1 (not 0) so zero-threshold configs still reject.
     w3 = (w1 + 1) // 2 - 4               # valid conv3 output pixels
     slot_ok = (jnp.arange(wb3 * fold).reshape(wb3, fold) < w3)[None, None]
