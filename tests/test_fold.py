@@ -87,6 +87,33 @@ def test_folded_trunk_matches_direct(h, w):
         )
 
 
+def test_cascade_folded_invariance_360p_production_pyramid():
+    """Folded == direct at a product resolution: the 360p pyramid's 12
+    levels hit every width-padding branch (w % 4, odd/even block counts,
+    odd/even valid widths) in one cascade."""
+    params = MTCNNParams(
+        pnet=init_pnet(jax.random.PRNGKey(21)),
+        rnet=init_rnet(jax.random.PRNGKey(22)),
+        onet=init_onet(jax.random.PRNGKey(23)),
+    )
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (1, 360, 640, 3), dtype=np.uint8)
+    )
+    cfgs = [
+        MTCNNConfig(thresholds=(0.0, 0.0, 0.0), nms_max_rounds=0,
+                    use_folded_pnet=flag)
+        for flag in (False, True)
+    ]
+    da = detect_faces(params, frames, cfgs[0], dtype=None, precision=None)
+    db = detect_faces(params, frames, cfgs[1], dtype=None, precision=None)
+    va, vb = np.asarray(da.valid), np.asarray(db.valid)
+    assert (va == vb).all()
+    np.testing.assert_allclose(
+        np.asarray(da.boxes)[va], np.asarray(db.boxes)[vb], atol=1e-3
+    )
+
+
 def test_cascade_decisions_invariant_to_folded_trunk():
     """detect_faces with the folded trunk == direct trunk (f32 CPU):
     same valid set, same boxes/scores to float tolerance."""
