@@ -64,12 +64,17 @@ def slope_time(f, x, n_lo=2, n_hi=7, trials=3):
 
 def main():
     from truely_tpu.config import DetectorConfig
-    from truely_tpu.models.mtcnn_nets import apply_pnet_trunk
+    from truely_tpu.models.mtcnn_nets import (
+        apply_pnet_trunk, apply_pnet_trunk_folded,
+    )
+    from truely_tpu.ops.fold import fold_width
     from truely_tpu.models.inception_resnet_v1 import apply_inception_resnet_v1
     from truely_tpu.models.landmark68 import apply_landmark68
     from truely_tpu.ops.resize import (
         crop_resize_area, crop_resize_bilinear, integral_image, resize_area,
+        resize_area_u8,
     )
+    from truely_tpu.pipeline.mtcnn import PNET_FOLD
     from truely_tpu.ops.boxes import pad_crop_bounds
     from truely_tpu.pipeline.detector import Detector, _frame_step
     from truely_tpu.pipeline.mtcnn import _stage1, detect_faces
@@ -122,6 +127,14 @@ def main():
                                       dtype=dtype, precision=None)),
             frames,
         ),
+        # Same-day A/B partner for "stage1": the direct (unfolded) trunk.
+        "stage1_direct": (
+            jax.jit(lambda f: _stage1(
+                det.params.mtcnn, f,
+                cfg.mtcnn.__class__(use_folded_pnet=False),
+                dtype=dtype, precision=None)),
+            frames,
+        ),
         # Tap a FULL-SUM of each level INSIDE these jits.  _tap's
         # reshape(-1)[:8] forces a copy into the C-minor (8,128)-tiled
         # layout, which pads channels 3 -> 128 lanes and blows HBM (a single
@@ -132,6 +145,29 @@ def main():
             jax.jit(lambda f: sum(
                 resize_area(f, (l.height, l.width),
                             precision=jax.lax.Precision.DEFAULT)
+                .astype(jnp.float32).sum()
+                for l in levels
+            )),
+            frames,
+        ),
+        # The PRODUCTION stage-1 per-level work: int8-MXU pyramid resample
+        # + width-folded trunk (what _stage1 runs when precision=None).
+        "pnet_trunks_folded": (
+            jax.jit(lambda f: sum(
+                _tap(apply_pnet_trunk_folded(
+                    det.params.mtcnn.pnet,
+                    (fold_width(resize_area_u8(f, (l.height, l.width)),
+                                PNET_FOLD).astype(jnp.float32) - 127.5)
+                    * 0.0078125,
+                    l.width, fold=PNET_FOLD, dtype=dtype, precision=None,
+                ))
+                for l in levels
+            )),
+            frames,
+        ),
+        "pyramid_resize_u8": (
+            jax.jit(lambda f: sum(
+                resize_area_u8(f, (l.height, l.width))
                 .astype(jnp.float32).sum()
                 for l in levels
             )),

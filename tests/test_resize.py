@@ -1,6 +1,7 @@
 """Resize-kernel parity vs torch (area mode) and cv2 (bilinear) oracles."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -158,3 +159,40 @@ def test_resize_area_u8_exact_integer_means(hw, ohw):
                 (ye - ys) * (xe - xs))
     expect_bf16 = jnp.asarray(expect).astype(jnp.bfloat16)
     np.testing.assert_array_equal(got, np.asarray(expect_bf16).astype(np.float32))
+
+
+def test_pyramid_cascade_drift():
+    """The production cascaded pyramid (each level resampled from the
+    previous, bf16) is a DIFFERENT operator from the one-shot area
+    resample (levels past the first average slightly different source
+    sets), so on natural-statistics content its drift must stay small and
+    bounded; white noise is excluded deliberately (averaging different
+    pixel subsets of noise drifts O(sigma/sqrt(n)) by construction).
+    Decision-level stability on real video is gated separately (the
+    bundled-clip run); parity paths always take the exact resample."""
+    from truely_tpu.ops.resize import resize_area
+    from truely_tpu.pipeline.pyramid import pyramid_schedule
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(360, 640, 3)).astype(np.float32)
+    smooth = cv2.GaussianBlur(noise, (0, 0), sigmaX=4.0)
+    frames = np.clip(smooth, 0, 255).astype(np.uint8)[None]
+    levels = pyramid_schedule(360, 640, 20, 0.709)
+    assert len(levels) >= 8
+
+    src = jnp.asarray(frames)
+    for i, lvl in enumerate(levels):
+        casc = resize_area(
+            src, (lvl.height, lvl.width),
+            precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16,
+        )
+        exact = resize_area(
+            jnp.asarray(frames), (lvl.height, lvl.width),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        diff = np.abs(
+            np.asarray(casc, np.float32) - np.asarray(exact, np.float32)
+        )
+        assert diff.max() <= 12.0, (i, diff.max())
+        assert diff.mean() <= 2.5, (i, diff.mean())
+        src = casc

@@ -49,6 +49,15 @@ class MTCNNConfig:
     # to f32/HIGHEST keep the direct trunk, whose contraction order the
     # torch oracles are bit-matched against.
     use_folded_pnet: bool = True
+    # Resample each pyramid level from the PREVIOUS level instead of the
+    # full frame (production precision=None paths only).  The direct
+    # per-level resample contracts the full 1080p frame twelve times
+    # (measured 58 ms at b128 for the exact int8 path, 42 ms bf16); the
+    # cascade's geometric work measures 21 ms.  Values drift from the
+    # exact one-shot area resample by bf16 rounding compounded per level
+    # (bounded in tests/test_resize.py::test_pyramid_cascade_drift);
+    # parity paths (precision=HIGHEST) always use the exact resample.
+    pyramid_cascade: bool = True
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # ONE global top-K over every cell of every pyramid level (fan-in
     # stage-1 design, see pipeline/mtcnn._stage1), then after R-Net and

@@ -274,13 +274,14 @@ def crop_resize_area_mxu(
 
     Replaces the integral-image + gather formulation on TPU: gathers run
     ~45 GB/s there while this is pure batched matmul.  Bit-exact with
-    :func:`crop_resize_area`: for uint8 frames the W-contraction runs on
-    the int8 MXU path (2x bf16 peak) over shifted pixels (x - 128 fits
-    int8; the shift is undone after the area division, exactly, since
-    area-resize of a constant is that constant) with exact int32 bin
-    sums; the H-contraction accumulates in f32 where the largest bin sum
-    (128 * ceil(H/O) * ceil(W/O) at 1080p/24 = ~460k) stays below 2^24,
-    so every bin sum is an exact integer before the final division.
+    :func:`crop_resize_area`: for uint8 frames the W-contraction runs
+    shifted pixels (x - 128, an exact bf16 integer; the shift is undone
+    after the area division, exactly, since area-resize of a constant is
+    that constant) against the 0/1 indicator on the bf16 MXU with exact
+    f32 integer accumulation; the H-contraction accumulates in f32 where
+    the largest bin sum (128 * ceil(H/O) * ceil(W/O) at 1080p/24 = ~460k)
+    stays below 2^24, so every bin sum is an exact integer before the
+    final division.
     Non-uint8 frames fall back to the bf16 formulation (also exact for
     pixel-valued inputs: uint8 pixels are exact in bf16).
 
@@ -293,26 +294,31 @@ def crop_resize_area_mxu(
     b, c, h, w = frames.shape
     k = bounds.shape[1]
     o = out_size
-    use_int8 = frames.dtype == jnp.uint8
+    exact_u8 = frames.dtype == jnp.uint8
     x0, y0, x1, y1 = (bounds[..., i] for i in range(4))
     sy, ey = _bin_edges(y0[..., None], (y1 - y0)[..., None], o)
     sx, ex = _bin_edges(x0[..., None], (x1 - x0)[..., None], o)
     # Indicators generated bins-first so H/W stay the minor (lane) dims:
     # a C- or O-minor intermediate would be lane-padded to 128 (up to 42x).
     ybin = _bin_indicator(sy, ey, h, o, jnp.float32, bins_first=True)
-    if use_int8:
-        # int8 MXU path (2x bf16 peak), still exact: uint8 pixels shifted
-        # by -128 fit int8, the 0/1 indicator is int8, bin sums accumulate
-        # in int32 exactly, and the shift is undone by adding back 128
-        # after the area division (area-resize of a constant is itself).
-        xbin = _bin_indicator(sx, ex, w, o, jnp.int8, bins_first=True)
-        pix = (frames.astype(jnp.int32) - 128).astype(jnp.int8)
+    if exact_u8:
+        # bf16 MXU with f32 accumulation — still EXACT: uint8 pixels
+        # shifted by -128 are integers |v| <= 128 (exact in bf16), the
+        # 0/1 indicator is exact, every product is exact, and the f32
+        # accumulation of integer column sums (|sum| <= 128 * bin_w <
+        # 2^24) is exact.  Beats the earlier int8->int32 formulation by
+        # ~25% at 1080p b128 (34.5 vs 46 ms, scripts/probes/
+        # probe_crops2.py): emitting f32 directly removes the int32
+        # intermediate's write+read+convert round trip, which outweighs
+        # the halved MXU rate.  Verified bit-exact on chip.
+        xbin = _bin_indicator(sx, ex, w, o, jnp.bfloat16, bins_first=True)
+        pix = (frames.astype(jnp.int32) - 128).astype(jnp.bfloat16)
         cols = jax.lax.dot_general(
             xbin.reshape(b, k * o, w),
             pix,
             dimension_numbers=(((2,), (3,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        ).reshape(b, k, o, c, h).astype(jnp.float32)
+            preferred_element_type=jnp.float32,
+        ).reshape(b, k, o, c, h)
     else:
         xbin = _bin_indicator(sx, ex, w, o, dtype, bins_first=True)
         # Contract W: (B, K*O, W) x (B, C, H, W) -> (B, K, O, C, H).
@@ -338,7 +344,7 @@ def crop_resize_area_mxu(
     area = ((ey - sy)[..., :, None] * (ex - sx)[..., None, :]).astype(
         jnp.float32
     )  # (B, K, O, O)
-    if use_int8:
+    if exact_u8:
         # Undo the pixel shift BEFORE the division: sums and 128*area are
         # both exact f32 integers (< 2^24), so their sum is the exact
         # unshifted bin sum and the division rounds identically to the

@@ -143,6 +143,14 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     # keep the direct trunk whose contraction order matches the torch
     # oracles bit-for-bit.
     use_folded = cfg.use_folded_pnet and precision is None
+    # Cascaded pyramid on production paths: level l resamples level l-1
+    # instead of the full frame, so the per-level contraction shrinks
+    # geometrically (21 ms vs 58 ms at 1080p b128 — scripts/probes/
+    # probe_resize2.py).  bf16 rounding compounds ~0.4%/level (bounded by
+    # tests/test_resize.py::test_pyramid_cascade_drift); parity paths
+    # (precision=HIGHEST) keep the exact one-shot resample below.
+    use_cascade = cfg.pyramid_cascade and precision is None
+    src = frames
     for lvl in levels:
         # Pyramid resample follows the net precision.  The bf16 production
         # path (precision=None) resamples uint8 frames on the int8 MXU
@@ -150,7 +158,13 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
         # integer bin sums (the old bf16 two-pass averaged with <=0.4%
         # rounding).  Parity paths pass HIGHEST and keep the float32
         # two-pass that is bit-matched against torch.
-        if use_i8_resize:
+        if use_cascade:
+            scaled = resize_area(
+                src, (lvl.height, lvl.width),
+                precision=jax.lax.Precision.DEFAULT, dtype=dtype,
+            )
+            src = scaled
+        elif use_i8_resize:
             scaled = resize_area_u8(frames, (lvl.height, lvl.width))
         else:
             scaled = resize_area(
