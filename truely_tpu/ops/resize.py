@@ -313,21 +313,25 @@ def crop_resize_area_mxu(
         # the halved MXU rate.  Verified bit-exact on chip.
         xbin = _bin_indicator(sx, ex, w, o, jnp.bfloat16, bins_first=True)
         pix = (frames.astype(jnp.int32) - 128).astype(jnp.bfloat16)
+        # 4-D LHS: the dot emits (B, K, O, C, H) directly.  Flattening the
+        # LHS to (B, K*O, W) and reshaping the output costs a full layout
+        # copy of the ~2.5 GB intermediate in the compiled HLO (measured
+        # 44 -> 30 ms at 1080p b128 K=64, scripts/probes/probe_fused2.py).
         cols = jax.lax.dot_general(
-            xbin.reshape(b, k * o, w),
+            xbin,
             pix,
-            dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+            dimension_numbers=(((3,), (3,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(b, k, o, c, h)
+        )
     else:
         xbin = _bin_indicator(sx, ex, w, o, dtype, bins_first=True)
-        # Contract W: (B, K*O, W) x (B, C, H, W) -> (B, K, O, C, H).
+        # Contract W: (B, K, O, W) x (B, C, H, W) -> (B, K, O, C, H).
         cols = jax.lax.dot_general(
-            xbin.reshape(b, k * o, w),
+            xbin,
             frames.astype(dtype),
-            dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+            dimension_numbers=(((3,), (3,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(b, k, o, c, h)
+        )
     # Contract H per (B, K): (B, K, O, C, H) x (B, K, O, H) -> (B, K, O, C, O).
     # Column sums exceed bf16's exact-integer range (~2^8), so this (much
     # smaller) contraction runs in f32 at HIGHEST precision: the 3-way bf16
