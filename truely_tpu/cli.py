@@ -25,10 +25,13 @@ def cmd_analyze(args) -> int:
         print(f"error: could not open video: {args.video}", file=sys.stderr)
         return 1
 
+    from truely_tpu.config import MTCNNConfig
+
     config = DetectorConfig(
         frame_batch=args.batch,
         reference_compat=not args.corrected,
         use_pallas_crop=args.pallas_crop,
+        mtcnn=MTCNNConfig(pyramid_cascade=not args.exact_pyramid),
     )
     detector = Detector(config, weights_dir=args.weights)
     if not detector.facenet_pretrained:
@@ -85,6 +88,10 @@ def main(argv=None) -> int:
     p.add_argument("--pallas-crop", action="store_true",
                    help="use the Pallas face-crop kernel (TPU only; see "
                         "PERFORMANCE.md finding 4 for when it wins)")
+    p.add_argument("--exact-pyramid", action="store_true",
+                   help="resample every pyramid level from the full frame "
+                        "(exact area semantics) instead of the ~2.7x-faster "
+                        "cascaded resample (PERFORMANCE.md finding 11)")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("serve", help="start the API server")
