@@ -44,3 +44,28 @@ def test_analyze_unreadable_input_is_clean_error(capsys):
     captured = capsys.readouterr()
     assert "error: could not open video" in captured.err
     assert "Traceback" not in captured.err
+
+
+def test_exact_pyramid_flag_builds_config(monkeypatch, capsys):
+    """--exact-pyramid must reach MTCNNConfig.pyramid_cascade=False (the
+    exact one-shot resample; PERFORMANCE.md finding 11)."""
+    seen = {}
+
+    class FakeDetector:
+        facenet_pretrained = True
+
+        def __init__(self, config, weights_dir=None):
+            seen["config"] = config
+
+        def analyze_video(self, video, output):
+            raise IOError("stop here")
+
+    import truely_tpu.pipeline.detector as det_mod
+    monkeypatch.setattr(det_mod, "Detector", FakeDetector)
+    rc = main(["analyze", __file__, "--exact-pyramid"])
+    assert rc == 1  # the fake raises after config construction
+    assert seen["config"].mtcnn.pyramid_cascade is False
+
+    rc = main(["analyze", __file__])
+    assert rc == 1
+    assert seen["config"].mtcnn.pyramid_cascade is True
