@@ -149,7 +149,14 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
     # probe_resize2.py).  bf16 rounding compounds ~0.4%/level (bounded by
     # tests/test_resize.py::test_pyramid_cascade_drift); parity paths
     # (precision=HIGHEST) keep the exact one-shot resample below.
-    use_cascade = cfg.pyramid_cascade and precision is None
+    # Production means bf16 + default precision, matching use_i8_resize:
+    # float32 configs (the golden run, the parity oracles) must keep the
+    # exact one-shot resample even when precision isn't passed explicitly.
+    use_cascade = (
+        cfg.pyramid_cascade
+        and precision is None
+        and jnp.dtype(dtype) == jnp.bfloat16
+    )
     src = frames
     for lvl in levels:
         # Pyramid resample follows the net precision.  The bf16 production
