@@ -9,14 +9,27 @@ whole run (server/model.py:15,78-80; SURVEY.md §5).  Here:
 - ``profile_trace`` wraps ``jax.profiler.trace`` so a TensorBoard-readable
   device trace can be captured around any pipeline section (availability
   depends on the platform plugin; errors degrade to a no-op).
+- ``measure_forced`` is the library form of the only timing methodology
+  that is valid on this runtime (PERFORMANCE.md "Methodology"):
+  ``jax.block_until_ready`` does NOT synchronize non-scalar buffers on the
+  remote-attached axon runtime, so dispatch-and-block times only dispatch.
+  ``measure_forced`` chains iterations through a data dependency XLA cannot
+  remove, forces the chain with one scalar fetch, and reports the slope
+  between two chain lengths so the constant round-trip cost cancels.
+- ``device_op_table`` / ``top_device_ops`` parse a ``jax.profiler`` Chrome
+  trace into per-op device-time attribution (the analysis behind the
+  PERFORMANCE.md breakdown tables and scripts/probes/probe_step_trace.py).
 """
 
 from __future__ import annotations
 
 import contextlib
+import glob
+import gzip
+import json
 import time
 from collections import defaultdict
-from typing import Dict, Iterator
+from typing import Any, Callable, Dict, Iterator, List, Tuple
 
 
 class StageTimer:
@@ -46,6 +59,131 @@ class StageTimer:
                 f"{self.counts[name]} calls"
             )
         return "\n".join(lines)
+
+
+def _default_tap(out: Any) -> Any:
+    """One scalar that data-depends on ``out`` (first element of the first
+    array leaf)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ndim")]
+    if not leaves:
+        raise ValueError("output has no array leaves to tap")
+    leaf = leaves[0]
+    return leaf[(0,) * leaf.ndim].astype(jnp.float32)
+
+
+def _default_mix(arg: Any, tap: Any) -> Any:
+    """Fold the scalar ``tap`` back into ``arg`` without changing its value
+    (``x + tap * 0``), so step N cannot start before step N-1 finished.
+    Applied to the first array leaf only — one serialized input suffices."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(arg)
+    for i, leaf in enumerate(leaves):
+        if not hasattr(leaf, "ndim") or leaf.dtype.kind == "b":
+            continue
+        zero = (tap * 0).astype(leaf.dtype)
+        leaves[i] = leaf ^ zero if leaf.dtype.kind in "iu" else leaf + zero
+        break
+    else:
+        raise ValueError("arg has no numeric array leaf to serialize on")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def measure_forced(
+    step: Callable[[Any], Any],
+    arg: Any,
+    *,
+    n_lo: int = 2,
+    n_hi: int = 5,
+    trials: int = 3,
+    warmup: int = 2,
+    tap: Callable[[Any], Any] = _default_tap,
+    mix: Callable[[Any, Any], Any] = _default_mix,
+) -> float:
+    """Seconds per call of ``step(arg)``, measured with forced execution.
+
+    Runs chains of ``n`` calls where each call's input mixes in a scalar
+    tapped from the previous output (``mix``/``tap``), fetches one scalar
+    from the final output to force the whole chain, and returns the best
+    slope ``(t(n_hi) - t(n_lo)) / (n_hi - n_lo)`` over ``trials`` trials.
+    This is the only pattern that measures execution (not dispatch) on
+    runtimes where ``block_until_ready`` is a no-op for non-scalar buffers
+    (PERFORMANCE.md "Methodology"; validated at 94% of a v5e's peak on a
+    known matmul).
+    """
+
+    def chain(n: int) -> float:
+        t0 = time.perf_counter()
+        a = arg
+        t = None
+        for _ in range(n):
+            out = step(a)
+            t = tap(out)
+            a = mix(arg, t)
+        float(t)  # scalar fetch: forces the chain
+        return time.perf_counter() - t0
+
+    for _ in range(warmup):
+        chain(1)
+    return min(
+        (chain(n_hi) - chain(n_lo)) / (n_hi - n_lo) for _ in range(trials)
+    )
+
+
+def device_op_table(
+    trace_dir: str, *, device_substr: str = "TPU"
+) -> List[Tuple[str, float, int]]:
+    """Aggregate per-op device time from a ``jax.profiler`` Chrome trace.
+
+    Scans ``trace_dir`` recursively for ``*.trace.json.gz``, keeps complete
+    ("X") events whose pid's ``process_name`` metadata contains
+    ``device_substr`` (e.g. ``/device:TPU:0``), and returns
+    ``[(op_name, total_ms, count), ...]`` sorted by total time descending.
+    Fusion/copy op names map back to source via
+    ``jit(f).lower(x).compile().as_text()`` metadata.
+    """
+    events = []
+    for path in glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        trace_events = data.get("traceEvents", [])
+        pid_ok = {
+            e["pid"]
+            for e in trace_events
+            if e.get("ph") == "M"
+            and e.get("name") == "process_name"
+            and device_substr in str(e.get("args", {}).get("name", ""))
+        }
+        events.extend(
+            e
+            for e in trace_events
+            if e.get("ph") == "X" and e.get("pid") in pid_ok
+        )
+    agg: Dict[str, List[float]] = {}
+    for e in events:
+        bucket = agg.setdefault(e.get("name", "?"), [0.0, 0])
+        bucket[0] += e.get("dur", 0) / 1e3
+        bucket[1] += 1
+    return sorted(
+        ((name, ms, int(n)) for name, (ms, n) in agg.items()),
+        key=lambda row: -row[1],
+    )
+
+
+def top_device_ops(
+    trace_dir: str, top: int = 20, *, device_substr: str = "TPU"
+) -> str:
+    """Human-readable top-N table from :func:`device_op_table`."""
+    rows = device_op_table(trace_dir, device_substr=device_substr)
+    total = sum(ms for _, ms, _ in rows)
+    lines = [f"total device op time: {total:.1f} ms over {len(rows)} op names"]
+    lines += [
+        f"  {ms:9.2f} ms  x{n:4d}  {name[:90]}" for name, ms, n in rows[:top]
+    ]
+    return "\n".join(lines)
 
 
 @contextlib.contextmanager
