@@ -126,7 +126,7 @@ def test_perform_search_filtering():
 
 def test_perform_search_error():
     transport = httpx.MockTransport(lambda r: httpx.Response(403, text="denied"))
-    with pytest.raises(RuntimeError, match="web search request failed \(HTTP 403\)"):
+    with pytest.raises(RuntimeError, match=r"web search request failed \(HTTP 403\)"):
         perform_search("q", "key", transport=transport)
 
 

@@ -324,3 +324,45 @@ def test_cascade_bf16_production_path_runs_and_is_sane():
     # Random O-Net regression weights emit wild offsets, so box ordering
     # is not guaranteed here; landmarks and boxes must just be finite.
     assert np.isfinite(np.asarray(det.landmarks)[valid]).all()
+
+
+def test_stage_crop_quant_gated_off_parity_paths():
+    """stage_crop_quant must be a no-op on f32/HIGHEST parity configs: the
+    golden run and the torch oracles bit-match the exact full-resolution
+    crops (same gate as pyramid_cascade)."""
+    cfg_exact = MTCNNConfig(thresholds=(0.92, 0.55, 0.30), nms_max_rounds=0,
+                            stage_crop_quant=1)
+    cfg_quant = MTCNNConfig(thresholds=(0.92, 0.55, 0.30), nms_max_rounds=0,
+                            stage_crop_quant=8)
+    _, params = make_nets_and_params(0)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(2, 72, 96, 3), dtype=np.uint8))
+    a = detect_faces(params, frames, cfg_exact, dtype=None, precision=HIGH)
+    b = detect_faces(params, frames, cfg_quant, dtype=None, precision=HIGH)
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
+def test_stage_crop_quant_engages_on_production_path(monkeypatch):
+    """On the bf16 production path the quantized crop function must be the
+    one the cascade calls (and with the configured q)."""
+    import truely_tpu.pipeline.mtcnn as mtcnn_mod
+
+    calls = []
+    real = mtcnn_mod.crop_resize_area_mxu_quant
+
+    def spy(frames, bounds, out_size, *, quant):
+        calls.append((out_size, quant))
+        return real(frames, bounds, out_size, quant=quant)
+
+    monkeypatch.setattr(mtcnn_mod, "crop_resize_area_mxu_quant", spy)
+    cfg = MTCNNConfig(thresholds=(0.92, 0.55, 0.30), nms_max_rounds=0,
+                      stage_crop_quant=4)
+    _, params = make_nets_and_params(0)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(1, 72, 96, 3), dtype=np.uint8))
+    detect_faces(params, frames, cfg, dtype=jnp.bfloat16, precision=None)
+    assert calls == [(24, 4), (48, 4)]

@@ -69,3 +69,28 @@ def test_exact_pyramid_flag_builds_config(monkeypatch, capsys):
     rc = main(["analyze", __file__])
     assert rc == 1
     assert seen["config"].mtcnn.pyramid_cascade is True
+
+
+def test_crop_quant_flag_builds_config(monkeypatch, capsys):
+    """--crop-quant must reach MTCNNConfig.stage_crop_quant (the quantized
+    stage crops; 1 = exact full-resolution crops)."""
+    seen = {}
+
+    class FakeDetector:
+        facenet_pretrained = True
+
+        def __init__(self, config, weights_dir=None):
+            seen["config"] = config
+
+        def analyze_video(self, video, output):
+            raise IOError("stop here")
+
+    import truely_tpu.pipeline.detector as det_mod
+    monkeypatch.setattr(det_mod, "Detector", FakeDetector)
+    rc = main(["analyze", __file__, "--crop-quant", "1"])
+    assert rc == 1  # the fake raises after config construction
+    assert seen["config"].mtcnn.stage_crop_quant == 1
+
+    rc = main(["analyze", __file__])
+    assert rc == 1
+    assert seen["config"].mtcnn.stage_crop_quant == 4

@@ -196,3 +196,123 @@ def test_pyramid_cascade_drift():
         assert diff.max() <= 12.0, (i, diff.max())
         assert diff.mean() <= 2.5, (i, diff.mean())
         src = casc
+
+
+# ---------------------------------------------------------------------------
+# Quantized stage crops (production fidelity/speed trade; MTCNNConfig
+# stage_crop_quant — see PERFORMANCE.md)
+# ---------------------------------------------------------------------------
+
+
+def _quant_crop_numpy(frames_chw_u8, bounds, o, q):
+    """Independent restatement of the quantized semantics: adaptive-pool
+    crop on the q x q block-MEAN image, boxes snapped floor/ceil to the
+    grid, empty boxes staying empty."""
+    f = frames_chw_u8.astype(np.float64)
+    b, c, h, w = f.shape
+    small = f.reshape(b, c, h // q, q, w // q, q).mean(axis=(3, 5))
+    k = bounds.shape[1]
+    out = np.zeros((b, k, o, o, c))
+    for bi in range(b):
+        for ki in range(k):
+            x0, y0, x1, y1 = bounds[bi, ki]
+            if x1 <= x0 or y1 <= y0:
+                continue
+            qx0, qy0 = x0 // q, y0 // q
+            qx1, qy1 = -(-x1 // q), -(-y1 // q)
+            crop = small[bi, :, qy0:qy1, qx0:qx1]
+            ch, cw = crop.shape[1], crop.shape[2]
+            for i in range(o):
+                ys, ye = (i * ch) // o, -((-(i + 1) * ch) // o)
+                for j in range(o):
+                    xs, xe = (j * cw) // o, -((-(j + 1) * cw) // o)
+                    if ye > ys and xe > xs:
+                        out[bi, ki, i, j] = crop[:, ys:ye, xs:xe].mean(
+                            axis=(1, 2))
+    return out
+
+
+@pytest.mark.parametrize("q", [4, 8])
+def test_crop_quant_matches_numpy_restatement(q):
+    from truely_tpu.ops.resize import crop_resize_area_mxu_quant
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(2, 3, 96, 128), dtype=np.uint8)
+    bounds = np.array([
+        [[4, 8, 68, 72], [1, 3, 94, 91], [0, 0, 128, 96], [37, 41, 43, 47]],
+        [[10, 10, 11, 11], [0, 0, 0, 0], [5, 5, 5, 9], [120, 88, 128, 96]],
+    ], dtype=np.int32)
+    got = np.asarray(
+        crop_resize_area_mxu_quant(jnp.asarray(frames), jnp.asarray(bounds),
+                                   6, quant=q)
+    )
+    ref = _quant_crop_numpy(frames, bounds, 6, q)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_crop_quant_empty_boxes_stay_empty():
+    from truely_tpu.ops.resize import crop_resize_area_mxu_quant
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(1, 256, size=(1, 3, 32, 32), dtype=np.uint8)
+    # x0 == x1 == 5 would quantize to a NON-empty [1, 2) superpixel box if
+    # emptiness weren't preserved explicitly.
+    bounds = np.array([[[5, 5, 5, 20], [7, 3, 7, 3], [3, 9, 3, 9]]], np.int32)
+    got = np.asarray(
+        crop_resize_area_mxu_quant(jnp.asarray(frames), jnp.asarray(bounds),
+                                   4, quant=4)
+    )
+    assert (got == 0).all()
+
+
+def test_crop_quant_falls_back_exact_on_non_divisible_frames():
+    from truely_tpu.ops.resize import (
+        crop_resize_area_mxu, crop_resize_area_mxu_quant,
+    )
+
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, size=(1, 3, 50, 66), dtype=np.uint8)
+    bounds = np.array([[[3, 5, 40, 47]]], np.int32)
+    got = np.asarray(crop_resize_area_mxu_quant(
+        jnp.asarray(frames), jnp.asarray(bounds), 8, quant=4))
+    exact = np.asarray(crop_resize_area_mxu(
+        jnp.asarray(frames), jnp.asarray(bounds), 8))
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_crop_quant_nhwc_entry_matches_nchw():
+    from truely_tpu.ops.resize import crop_resize_area_mxu_quant
+
+    rng = np.random.default_rng(7)
+    nchw_f = rng.integers(0, 256, size=(1, 3, 64, 64), dtype=np.uint8)
+    nhwc_f = nchw_f.transpose(0, 2, 3, 1)
+    bounds = np.array([[[4, 4, 52, 56]]], np.int32)
+    a = np.asarray(crop_resize_area_mxu_quant(
+        jnp.asarray(nchw_f), jnp.asarray(bounds), 6, quant=4))
+    b = np.asarray(crop_resize_area_mxu_quant(
+        jnp.asarray(nhwc_f), jnp.asarray(bounds), 6, quant=4))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_crop_quant_drift_on_natural_content():
+    """On natural-statistics content the quantized crop must stay close to
+    the exact full-resolution crop: box edges move <= q-1 px and bins
+    average q x q superpixels, both small against smooth structure.  (White
+    noise is excluded for the same reason as the pyramid drift test.)"""
+    from truely_tpu.ops.resize import (
+        crop_resize_area_mxu, crop_resize_area_mxu_quant,
+    )
+
+    rng = np.random.default_rng(8)
+    noise = rng.integers(0, 256, size=(144, 192, 3)).astype(np.float32)
+    smooth = cv2.GaussianBlur(noise, (0, 0), sigmaX=4.0)
+    frames = np.clip(smooth, 0, 255).astype(np.uint8)[None].transpose(
+        0, 3, 1, 2)
+    bounds = np.array([[[12, 9, 100, 97], [40, 30, 180, 140]]], np.int32)
+    exact = np.asarray(crop_resize_area_mxu(
+        jnp.asarray(frames), jnp.asarray(bounds), 24))
+    quant = np.asarray(crop_resize_area_mxu_quant(
+        jnp.asarray(frames), jnp.asarray(bounds), 24, quant=4))
+    diff = np.abs(exact - quant)
+    assert diff.mean() <= 3.0, diff.mean()
+    assert diff.max() <= 30.0, diff.max()

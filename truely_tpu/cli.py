@@ -31,7 +31,10 @@ def cmd_analyze(args) -> int:
         frame_batch=args.batch,
         reference_compat=not args.corrected,
         use_pallas_crop=args.pallas_crop,
-        mtcnn=MTCNNConfig(pyramid_cascade=not args.exact_pyramid),
+        mtcnn=MTCNNConfig(
+            pyramid_cascade=not args.exact_pyramid,
+            stage_crop_quant=args.crop_quant,
+        ),
     )
     detector = Detector(config, weights_dir=args.weights)
     if not detector.facenet_pretrained:
@@ -92,6 +95,11 @@ def main(argv=None) -> int:
                    help="resample every pyramid level from the full frame "
                         "(exact area semantics) instead of the ~2.7x-faster "
                         "cascaded resample (PERFORMANCE.md finding 11)")
+    p.add_argument("--crop-quant", type=int, default=4,
+                   help="snap R-Net/O-Net crop boxes to an N-px grid so the "
+                        "stage-crop dots contract the block-mean frame "
+                        "(FLOPs/N^2 on the step's top-2 device ops); 1 = "
+                        "exact full-resolution crops")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("serve", help="start the API server")

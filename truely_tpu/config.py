@@ -58,6 +58,17 @@ class MTCNNConfig:
     # (bounded in tests/test_resize.py::test_pyramid_cascade_drift);
     # parity paths (precision=HIGHEST) always use the exact resample.
     pyramid_cascade: bool = True
+    # Snap R-Net/O-Net crop boxes to an N-px grid so the stage-crop dots
+    # contract the N x N block-mean frame instead of the full frame
+    # (production bf16 paths only; same gate as pyramid_cascade).  The
+    # full-resolution W-contractions are the step's top-2 device ops and
+    # FLOP-bound at ~78% of bf16 MXU peak, so the q^2 FLOP cut is the only
+    # lever left: measured 40.9 -> 21.4 ms (q=4) / 14.5 ms (q=8) for both
+    # stages at 1080p b128 (scripts/probes/probe_crops4.py).  Box edges
+    # move <= N-1 px and each output bin averages N x N superpixels;
+    # arithmetic stays exact integers under the quantized semantics.
+    # 1 disables (exact full-res crops — all parity/golden paths).
+    stage_crop_quant: int = 4
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # ONE global top-K over every cell of every pyramid level (fan-in
     # stage-1 design, see pipeline/mtcnn._stage1), then after R-Net and

@@ -358,6 +358,95 @@ def crop_resize_area_mxu(
     return jnp.where(area[..., None] > 0, mean, 0.0)
 
 
+def block_sum_frames(frames: jnp.ndarray, quant: int) -> jnp.ndarray:
+    """Exact ``quant x quant`` block sums of a (B, C, H, W) uint8 frame batch
+    as two indicator matmuls: (B, C, H/q, W/q) float32 integer sums.
+
+    W-pass: bf16 0/1 x u8 pixels with f32 accumulation (row sums
+    <= 255*q, exact).  H-pass: f32 HIGHEST on those sums (block sums
+    <= 255*q^2 < 2^24, exact).
+    """
+    b, c, h, w = frames.shape
+    wmat, _ = _sum_matrix(w, w // quant, jnp.bfloat16)
+    hmat, _ = _sum_matrix(h, h // quant, jnp.float32)
+    cols = jax.lax.dot_general(  # (B,C,H,W) x (W/q,W) -> (B,C,H,W/q)
+        frames.astype(jnp.bfloat16), wmat,
+        dimension_numbers=(((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.dot_general(  # contract H -> (B,C,W/q,H/q), then swap
+        cols, hmat, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).transpose(0, 1, 3, 2)
+
+
+def crop_resize_area_mxu_quant(
+    frames: jnp.ndarray,
+    bounds: jnp.ndarray,
+    out_size: int,
+    *,
+    quant: int = 4,
+) -> jnp.ndarray:
+    """Stage crops with box coords snapped to a ``quant``-px grid: exact
+    adaptive-pool crop semantics on the quant-downsampled frame.
+
+    The production fidelity/speed trade for the step's #1+#2 device ops —
+    the full-resolution W-contractions of :func:`crop_resize_area_mxu`
+    (~16 ms EACH at 1080p b128, ~78% of bf16 MXU peak, i.e. FLOP-bound):
+    contracting the q x q block-mean frame divides the dot FLOPs by q^2
+    (measured 40.9 -> 21.4 ms for both stages at q=4, 14.5 ms at q=8 —
+    scripts/probes/probe_crops4.py).  Same trade class as the cascaded
+    pyramid (PERFORMANCE.md finding 11): box edges move <= q-1 px and each
+    bin averages q x q superpixels; parity paths keep the exact
+    :func:`crop_resize_area_mxu`.
+
+    Everything stays EXACT INTEGER arithmetic under the quantized
+    semantics: block sums via :func:`block_sum_frames`, crop contractions
+    in f32 HIGHEST on 0/1 indicators (every bin sum an exact integer
+    < 2^24), one final division by ``bin_area * quant^2``.  Verified
+    against an independent numpy restatement (tests/test_resize.py).
+
+    frames: (B, C, H, W) or (B, H, W, C) uint8 with H, W divisible by
+    ``quant``.  bounds: (B, K, 4) int32 half-open, clipped.  Returns
+    (B, K, out_size, out_size, C) float32 in [0, 255]; empty boxes stay
+    empty (zeros) under quantization.
+    """
+    if frames.ndim == 4 and frames.shape[-1] <= 4:
+        frames = jnp.transpose(frames, (0, 3, 1, 2))
+    b, c, h, w = frames.shape
+    if h % quant or w % quant:
+        return crop_resize_area_mxu(frames, bounds, out_size)
+    o = out_size
+    bs = block_sum_frames(frames, quant)  # (B, C, H/q, W/q) f32 sums
+    hq, wq = h // quant, w // quant
+    x0, y0, x1, y1 = (bounds[..., i] for i in range(4))
+    qx0, qy0 = x0 // quant, y0 // quant
+    # ceil for the far edge so boxes never quantize to empty; boxes that
+    # ARE empty (x1 <= x0) must stay empty.
+    qx1 = jnp.where(x1 > x0, -(-x1 // quant), qx0)
+    qy1 = jnp.where(y1 > y0, -(-y1 // quant), qy0)
+    sy, ey = _bin_edges(qy0[..., None], (qy1 - qy0)[..., None], o)
+    sx, ex = _bin_edges(qx0[..., None], (qx1 - qx0)[..., None], o)
+    ybin = _bin_indicator(sy, ey, hq, o, jnp.float32, bins_first=True)
+    xbin = _bin_indicator(sx, ex, wq, o, jnp.float32, bins_first=True)
+    cols = jax.lax.dot_general(  # (B,K,O,Wq) x (B,C,Hq,Wq) -> (B,K,O,C,Hq)
+        xbin, bs, dimension_numbers=(((3,), (3,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sums = jax.lax.dot_general(
+        cols, ybin, dimension_numbers=(((4,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).transpose(0, 1, 4, 2, 3)  # (B, K, O_y, O_x, C)
+    area = ((ey - sy)[..., :, None] * (ex - sx)[..., None, :]).astype(
+        jnp.float32
+    )
+    mean = sums / (jnp.maximum(area, 1.0)[..., None] * float(quant * quant))
+    return jnp.where(area[..., None] > 0, mean, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Dynamic-crop bilinear resize (face crops, cv2.INTER_LINEAR semantics)
 # ---------------------------------------------------------------------------

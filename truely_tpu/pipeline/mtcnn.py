@@ -39,6 +39,7 @@ from truely_tpu.ops.crop_area_fused import (
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
 from truely_tpu.ops.resize import (
     resize_area, resize_area_u8, crop_resize_area_mxu,
+    crop_resize_area_mxu_quant,
 )
 from truely_tpu.ops.topk import exact_topk_lastdim
 from truely_tpu.pipeline.pyramid import pyramid_schedule
@@ -282,16 +283,22 @@ def _stage1(params, frames, cfg: MTCNNConfig, *, dtype, precision):
 
 
 def _stage_crops(frames_chw, boxes, width, height, out_size, dtype,
-                 frames_fused=None):
-    """Exact area crop-resize of stage boxes straight from the uint8 frames.
+                 frames_fused=None, quant=1):
+    """Area crop-resize of stage boxes straight from the uint8 frames.
 
     MXU bin-indicator matmuls (ops/resize.crop_resize_area_mxu) — bit-exact
     with the integral-image formulation but ~8x faster on TPU, where XLA
     gathers run far below HBM bandwidth.  When ``frames_fused`` (prepped
     planar int8 frames) is given, the fused Pallas kernel
     (ops/crop_area_fused.py) computes the same result without the HBM
-    round-trip of the column-sum intermediate — also bit-exact."""
+    round-trip of the column-sum intermediate — also bit-exact.  With
+    ``quant > 1`` (production bf16 paths) the boxes snap to a quant-px grid
+    and the dots contract the block-mean frame: FLOPs / quant^2 on the
+    step's top-2 device ops (ops/resize.crop_resize_area_mxu_quant)."""
     bounds = pad_crop_bounds(boxes, width, height)
+    if quant > 1:
+        return crop_resize_area_mxu_quant(
+            frames_chw, bounds, out_size, quant=quant)
     if frames_fused is not None:
         return crop_resize_area_fused(
             frames_fused, bounds, out_size, src_hw=(height, width))
@@ -320,6 +327,19 @@ def detect_faces(
     # (H/W must be the minor dims; C-minor intermediates lane-pad 3 -> 128).
     frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
     crop_dtype = jnp.float32 if precision is not None else dtype
+    # Quantized stage crops on production paths only (same gate as the
+    # cascaded pyramid): parity/golden configs (f32 or explicit precision)
+    # keep the exact full-resolution crops the torch oracles bit-match.
+    crop_quant = (
+        cfg.stage_crop_quant
+        if (
+            cfg.stage_crop_quant > 1
+            and precision is None
+            and jnp.dtype(dtype) == jnp.bfloat16
+            and frames.dtype == jnp.uint8
+        )
+        else 1
+    )
     # Prepped planar frames for the fused Pallas crop kernel, shared by
     # both stages (one transpose+shift pass).  TPU-only: interpret-mode
     # Pallas on CPU would be far slower than the XLA matmul path.
@@ -331,7 +351,7 @@ def detect_faces(
     k2 = min(cfg.rnet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k2, boxes)
     crops = _stage_crops(frames_chw, boxes, w, h, 24, crop_dtype,
-                         frames_fused=frames_fused)
+                         frames_fused=frames_fused, quant=crop_quant)
     flat = _normalize(crops.reshape(b * k2, 24, 24, 3))
     prob, reg = apply_rnet(params.rnet, flat, dtype=dtype, precision=precision)
     prob = prob.reshape(b, k2)
@@ -348,7 +368,7 @@ def detect_faces(
     k3 = min(cfg.onet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k3, boxes)
     crops = _stage_crops(frames_chw, boxes, w, h, 48, crop_dtype,
-                         frames_fused=frames_fused)
+                         frames_fused=frames_fused, quant=crop_quant)
     flat = _normalize(crops.reshape(b * k3, 48, 48, 3))
     prob, reg, lmk = apply_onet(params.onet, flat, dtype=dtype, precision=precision)
     prob = prob.reshape(b, k3)
