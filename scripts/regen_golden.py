@@ -12,7 +12,6 @@ Usage (CPU is the default and what CI uses):
     python scripts/regen_golden.py
 """
 
-import glob
 import json
 import os
 import sys
@@ -30,7 +29,9 @@ import cv2  # noqa: E402
 from truely_tpu.config import DetectorConfig  # noqa: E402
 from truely_tpu.pipeline.detector import Detector  # noqa: E402
 
-CLIP_GLOB = "/root/reference/test/*.mp4"
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from tests.clip import bundled_clip_path
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                    "veo3_first200_seeded.json")
 
@@ -39,7 +40,7 @@ GOLDEN_CONFIG = DetectorConfig(frame_batch=16, compute_dtype="float32")
 
 
 def load_frames(n=200):
-    cap = cv2.VideoCapture(glob.glob(CLIP_GLOB)[0])
+    cap = cv2.VideoCapture(bundled_clip_path())
     frames = []
     while len(frames) < n:
         ret, f = cap.read()

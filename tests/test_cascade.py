@@ -252,10 +252,11 @@ def test_cascade_oracle_parity_720p_production_capacities():
     import cv2
     import glob as _glob
 
-    clip = _glob.glob("/root/reference/test/*.mp4")
+    from tests.clip import bundled_clip_path
+    clip = bundled_clip_path()
     if not clip:
         pytest.skip("bundled clip not present")
-    cap = cv2.VideoCapture(clip[0])
+    cap = cv2.VideoCapture(clip)
     frames_360 = []
     while len(frames_360) < 64:
         ret, f = cap.read()

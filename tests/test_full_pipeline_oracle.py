@@ -18,7 +18,6 @@ the random nets keep candidate counts inside the PRODUCTION capacities
 making truncation a non-event and the comparison exact.
 """
 
-import glob
 import os
 
 import numpy as np
@@ -38,27 +37,30 @@ from tests import torch_refs
 from tests.test_cascade import oracle_detect
 from tests.test_models import randomize
 
-CLIP_GLOB = "/root/reference/test/*.mp4"
+from tests.clip import bundled_clip_path
 N_FRAMES = 200
 FPS = 30
-# Cascade seed 13 + P-Net threshold 0.554: every sampled frame detects a
+# Cascade seed 13 + P-Net threshold 0.557: 43/50 sampled frames detect a
 # usable largest face, and candidate counts stay inside the production
-# capacities (measured: max 55 stage-1 survivors/frame vs rnet_capacity=64;
-# at 0.5522 one frame hit 84 and capacity truncation desynced the oracle).
+# capacities (measured on the current fixture: max 44 stage-1
+# survivors/frame on the hottest frames vs rnet_capacity=64; at 0.554
+# frame 160 hit 85 and capacity truncation desynced the oracle).
 SEED = 13
-FACENET_SEED = 4
+FACENET_SEED = 13
 
 # Tuned stage thresholds keep the random nets' candidates within production
 # capacities (as in test_cascade); run_length_threshold=1 plus a similarity
 # threshold placed in the widest gap of the measured sim distribution
-# (margin 1.16e-3, ~2x the cross-framework sim drift bound asserted below)
-# so the random embedder's below-threshold sims exercise the counter, flag,
-# and reset paths without any knife-edge decision (with the defaults, no
-# random embedder produces 16 consecutive drifting frames on this clip).
-MTCNN_CFG = MTCNNConfig(thresholds=(0.554, 0.7, 0.7), nms_max_rounds=0)
+# (margin 1.36e-3 on the current fixture, ~2.7x the cross-framework sim
+# drift bound asserted below) so the random embedder's below-threshold sims
+# exercise the counter, flag, and reset paths without any knife-edge
+# decision (with the defaults, no random embedder produces 16 consecutive
+# drifting frames on this clip).  Retuned when the fixture changed to the
+# annotated re-encode (tests/fixtures/README.md).
+MTCNN_CFG = MTCNNConfig(thresholds=(0.557, 0.7, 0.7), nms_max_rounds=0)
 DET_CFG = DetectorConfig(
     mtcnn=MTCNN_CFG, frame_batch=16, compute_dtype="float32",
-    run_length_threshold=1, similarity_threshold=0.989161,
+    run_length_threshold=1, similarity_threshold=0.997398,
 )
 
 
@@ -89,7 +91,7 @@ def responsive_facenet(seed):
 
 
 def load_clip_frames(n):
-    cap = cv2.VideoCapture(glob.glob(CLIP_GLOB)[0])
+    cap = cv2.VideoCapture(bundled_clip_path())
     frames = []
     while len(frames) < n:
         ret, f = cap.read()
@@ -196,7 +198,7 @@ def oracle_run(frames, nets, cfg: DetectorConfig):
     return records, score, deep_fake_frame_count, deepfake_count
 
 
-@pytest.mark.skipif(not glob.glob(CLIP_GLOB), reason="bundled clip not present")
+@pytest.mark.skipif(not bundled_clip_path(), reason="bundled clip not present")
 def test_full_pipeline_matches_torch_oracle(tmp_path):
     frames = load_clip_frames(N_FRAMES)
     assert frames.shape == (N_FRAMES, 360, 640, 3)

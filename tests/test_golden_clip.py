@@ -29,7 +29,6 @@ upstream pretrained weights are not fetchable in this environment
 the true reference output slots in beside this one.
 """
 
-import glob
 import json
 import math
 import os
@@ -42,7 +41,7 @@ import jax
 from truely_tpu.config import DetectorConfig
 from truely_tpu.pipeline.detector import Detector
 
-CLIP_GLOB = "/root/reference/test/*.mp4"
+from tests.clip import bundled_clip_path
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "veo3_first200_seeded.json")
 
@@ -77,9 +76,9 @@ def reference_loop(sims, annotated, n_sampled, frame_count, fps,
     return flags, counters, counter, flagged_count, score
 
 
-@pytest.mark.skipif(not glob.glob(CLIP_GLOB), reason="bundled clip not present")
+@pytest.mark.skipif(not bundled_clip_path(), reason="bundled clip not present")
 def test_bundled_clip_matches_golden():
-    cap = cv2.VideoCapture(glob.glob(CLIP_GLOB)[0])
+    cap = cv2.VideoCapture(bundled_clip_path())
     frames = []
     while len(frames) < 200:
         ret, f = cap.read()

@@ -836,3 +836,41 @@ def test_get_available_formats_with_fake_runner():
         raise subprocess.TimeoutExpired(cmd, timeout)
 
     assert get_available_formats("https://youtu.be/x", runner=bad_runner) == []
+
+
+def test_analyze_video_never_touches_unmanaged_inputs(server, tmp_path, monkeypatch):
+    """A caller-supplied videoPath OUTSIDE the server's media (temp) dir must
+    be analyzed but NEVER deleted, and the annotated output must land in the
+    media dir, not next to the input.  (The reference deletes its input and
+    writes beside it — correct only for its own downloads; pointed at a
+    read-only fixture it destroys it.)"""
+    import tempfile
+
+    managed = tmp_path / "managed"
+    managed.mkdir()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(managed))
+    path = make_video(tmp_path, "fixture.mp4")  # outside the managed dir
+    resp, payload = call(server, "POST", "/analyze-video",
+                         body={"videoPath": path})
+    assert resp.status == 200
+    stored = server.store.get(payload["resultId"])
+    assert stored["output_path"].startswith(str(managed))
+    time.sleep(0.3)
+    assert os.path.exists(path), "unmanaged input must not be deleted"
+    assert not os.path.exists(path.replace(".mp4", "_output.mp4"))
+
+
+def test_analyze_video_managed_inputs_keep_reference_behavior(server, tmp_path, monkeypatch):
+    """Inputs inside the media dir keep the reference contract: output next
+    to the input, input deleted afterwards."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    path = make_video(tmp_path, "dl.mp4")
+    resp, payload = call(server, "POST", "/analyze-video",
+                         body={"videoPath": path})
+    assert resp.status == 200
+    stored = server.store.get(payload["resultId"])
+    assert stored["output_path"] == path.replace(".mp4", "_output.mp4")
+    time.sleep(0.3)
+    assert not os.path.exists(path)

@@ -328,7 +328,40 @@ class TruelyServer:
             return Response.json({"error": f"{kind.capitalize()} file is empty"}, 400)
         return None
 
+    @staticmethod
+    def _managed_path(path: str) -> bool:
+        """True iff ``path`` lives in the server's own media area (the temp
+        dir where /download-* place files).  The reference deletes its
+        input and writes the annotated output NEXT TO it
+        (server/server.py) — safe for its own downloads, destructive for a
+        caller-supplied path (an /analyze-video request pointed at a
+        read-only fixture deleted it).  Both behaviors are gated on this."""
+        import tempfile
+
+        root = os.path.realpath(tempfile.gettempdir())
+        return os.path.realpath(path).startswith(root + os.sep)
+
+    def _output_path_for(self, video_path: str) -> str:
+        """Reference behavior (next to the input) for managed inputs; the
+        server's own media dir for everything else."""
+        out = video_path.replace(".mp4", "_output.mp4")
+        if self._managed_path(video_path):
+            return out
+        import tempfile
+        import uuid
+
+        return os.path.join(
+            tempfile.gettempdir(), f"analysis_{uuid.uuid4().hex}_output.mp4"
+        )
+
     def _delete_input_later(self, path: str) -> None:
+        if not self._managed_path(path):
+            logger.info(
+                "keeping caller-supplied input outside the media dir: %s",
+                path,
+            )
+            return
+
         def task():
             try:
                 if os.path.exists(path):
@@ -348,7 +381,7 @@ class TruelyServer:
         invalid = self._validate_media_path(video_path, "video")
         if invalid:
             return invalid
-        output_path = video_path.replace(".mp4", "_output.mp4")
+        output_path = self._output_path_for(video_path)
         try:
             fake_score = self._run_analysis(video_path, output_path)
         except Exception as e:
@@ -495,7 +528,7 @@ class TruelyServer:
             invalid = self._validate_media_path(audio_path, "audio")
             if invalid:
                 return invalid
-        output_path = video_path.replace(".mp4", "_output.mp4")
+        output_path = self._output_path_for(video_path)
         try:
             fake_score = self._run_analysis(video_path, output_path)
         except Exception as e:
