@@ -89,3 +89,49 @@ def test_unbalanced_streams(detector):
 def test_step_with_nothing_queued(detector):
     sched = StreamScheduler(detector, n_streams=2, fps=30)
     assert sched.step() == []
+
+
+def test_mesh_sharded_streams_match_unsharded(detector):
+    """mesh= shards the packed batch's frame axis over a data mesh
+    (BASELINE config 5's v5e-4 shape); events and scores must be exactly
+    the single-device ones."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    fps = 10
+    streams = [make_stream(7), make_stream(8)]
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+
+    def run(mesh_arg):
+        sched = StreamScheduler(
+            detector, n_streams=2, frames_per_stream=4, fps=fps,
+            mesh=mesh_arg,
+        )
+        events = []
+        for t in range(streams[0].shape[0]):
+            for i, s in enumerate(streams):
+                sched.push(i, s[t])
+            if sched.pending() >= 8:
+                events.extend(sched.step())
+        events.extend(sched.drain())
+        return events, [sched.score(i) for i in range(2)]
+
+    ev_solo, sc_solo = run(None)
+    ev_mesh, sc_mesh = run(mesh)
+    assert sc_mesh == sc_solo
+    assert len(ev_mesh) == len(ev_solo)
+    for a, b in zip(ev_mesh, ev_solo):
+        assert (a.stream_id, a.frame_index, a.has_face, a.flagged,
+                a.counter) == (b.stream_id, b.frame_index, b.has_face,
+                               b.flagged, b.counter)
+
+
+def test_mesh_divisibility_error(detector):
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        StreamScheduler(detector, n_streams=3, frames_per_stream=2, mesh=mesh)

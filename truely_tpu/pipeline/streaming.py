@@ -11,6 +11,13 @@ The reference has no streaming mode at all (strictly one blocking video at
 a time, SURVEY.md §2.3); this is the design SURVEY.md §7 calls the
 "streaming config" hard part: a per-stream ring buffer + batch scheduler
 with scan state carried across batches.
+
+Multi-chip: pass ``mesh=`` to shard the packed batch's frame axis over a
+``jax.sharding.Mesh`` data axis (BASELINE config 5's v5e-4 slice).  The
+step runs through ``parallel.sharding.shard_frame_step`` — XLA splits the
+batch across chips and inserts the collectives — while the per-stream
+temporal fold (tiny) and ring buffers are unchanged, so events and scores
+are exactly the single-chip ones (tested on the virtual CPU mesh).
 """
 
 from __future__ import annotations
@@ -57,6 +64,8 @@ class StreamScheduler:
         *,
         frames_per_stream: Optional[int] = None,
         fps: int = 60,
+        mesh=None,
+        data_axis: str = "data",
     ):
         self.detector = detector
         self.config: DetectorConfig = detector.config
@@ -65,6 +74,23 @@ class StreamScheduler:
         self.sample_interval = self.config.sample_interval(fps)
         f = frames_per_stream or max(1, self.config.frame_batch // n_streams)
         self.frames_per_stream = f
+        self._mesh = mesh
+        if mesh is not None:
+            from truely_tpu.parallel.sharding import (
+                dp_spec, replicate, shard_frame_step,
+            )
+
+            n_dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+            if (n_streams * f) % n_dp:
+                raise ValueError(
+                    f"streams*frames_per_stream ({n_streams}*{f}) must be "
+                    f"divisible by the '{data_axis}' mesh axis ({n_dp})"
+                )
+            self._sharded_step = shard_frame_step(
+                mesh, self.config, data_axis=data_axis
+            )
+            self._sharded_params = replicate(mesh, detector.params)
+            self._frames_sharding = dp_spec(mesh, data_axis)
         self._queues: List[Deque[Tuple[int, np.ndarray]]] = [
             collections.deque() for _ in range(n_streams)
         ]
@@ -137,9 +163,14 @@ class StreamScheduler:
                 self.stats[i].pending -= 1
             n_valid[i] = len(indices[i])
 
-        out = self.detector.step_device(
-            jnp.asarray(batch.reshape(s * f, h, w, 3))
-        )
+        flat = batch.reshape(s * f, h, w, 3)
+        if self._mesh is not None:
+            frames_dev = jax.device_put(
+                jnp.asarray(flat), self._frames_sharding
+            )
+            out = self._sharded_step(self._sharded_params, frames_dev)
+        else:
+            out = self.detector.step_device(jnp.asarray(flat))
         emb = out.embedding.reshape(s, f, -1)
         has_face = out.has_face.reshape(s, f)
         res = self._vtemporal(

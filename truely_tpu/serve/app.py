@@ -137,7 +137,7 @@ class TruelyServer:
                             "detector is running on SEEDED RANDOM weights "
                             "(converted .npz artifacts not found) — fake "
                             "scores from /analyze-* are not meaningful; "
-                            "see scripts/convert_weights.py"
+                            "see scripts/convert_facenet_weights.py"
                         )
         return self._detector
 
