@@ -54,7 +54,7 @@ def test_exact_pyramid_flag_builds_config(monkeypatch, capsys):
     class FakeDetector:
         facenet_pretrained = True
 
-        def __init__(self, config, weights_dir=None):
+        def __init__(self, config, weights_dir=None, mesh=None):
             seen["config"] = config
 
         def analyze_video(self, video, output):
@@ -79,7 +79,7 @@ def test_crop_quant_flag_builds_config(monkeypatch, capsys):
     class FakeDetector:
         facenet_pretrained = True
 
-        def __init__(self, config, weights_dir=None):
+        def __init__(self, config, weights_dir=None, mesh=None):
             seen["config"] = config
 
         def analyze_video(self, video, output):

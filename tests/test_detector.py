@@ -139,3 +139,53 @@ def test_batch_padding_invariance(detector):
     assert r1.fake_score == r2.fake_score
     assert r1.flagged_count == r2.flagged_count
     assert [r.flagged for r in r1.records] == [r.flagged for r in r2.records]
+
+
+def test_mesh_detector_matches_unsharded(detector):
+    """Detector(mesh=...) DP-shards every batch step (frames split over the
+    'data' axis, params replicated); analyze_frames must produce exactly
+    the single-device records and score."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sharded = Detector(detector.config, mesh=mesh)
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(20, 64, 96, 3), dtype=np.uint8)
+    a = detector.analyze_frames(frames, fps=10)
+    b = sharded.analyze_frames(frames, fps=10)
+    assert b.fake_score == a.fake_score
+    assert b.total_processed == a.total_processed
+    assert b.flagged_count == a.flagged_count
+    assert len(b.records) == len(a.records)
+    for ra, rb in zip(a.records, b.records):
+        assert (ra.frame_index, ra.has_face, ra.flagged, ra.counter) == (
+            rb.frame_index, rb.has_face, rb.flagged, rb.counter
+        )
+
+
+def test_mesh_detector_multiface_matches(detector):
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sharded = Detector(detector.config, mesh=mesh)
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, size=(12, 64, 96, 3), dtype=np.uint8)
+    score_a, per_a, _ = detector.analyze_frames_tracks(frames, fps=10)
+    score_b, per_b, _ = sharded.analyze_frames_tracks(frames, fps=10)
+    assert score_b == score_a
+    assert np.array_equal(per_a, per_b)
+
+
+def test_mesh_detector_batch_divisibility():
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        Detector(DetectorConfig(frame_batch=6), mesh=mesh)

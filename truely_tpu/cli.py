@@ -36,7 +36,23 @@ def cmd_analyze(args) -> int:
             stage_crop_quant=args.crop_quant,
         ),
     )
-    detector = Detector(config, weights_dir=args.weights)
+    mesh = None
+    if args.dp > 1:
+        import jax
+
+        from truely_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < args.dp:
+            print(
+                f"error: --dp {args.dp} needs {args.dp} devices, have "
+                f"{len(devices)}",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh((args.dp, 1), ("data", "model"),
+                         devices=devices[: args.dp])
+    detector = Detector(config, weights_dir=args.weights, mesh=mesh)
     if not detector.facenet_pretrained:
         print(
             "warning: no converted FaceNet weights found (set TRUELY_TPU_WEIGHTS); "
@@ -100,6 +116,9 @@ def main(argv=None) -> int:
                         "stage-crop dots contract the block-mean frame "
                         "(FLOPs/N^2 on the step's top-2 device ops); 1 = "
                         "exact full-resolution crops")
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each frame batch over the first N devices "
+                        "(data-parallel mesh); batch must divide by N")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("serve", help="start the API server")

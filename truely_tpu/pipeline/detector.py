@@ -176,7 +176,7 @@ def _temporal_step(emb, has_face, n_valid, state, cfg: DetectorConfig):
     )
 
 
-def _upload_segments(seg_iter, depth: int = 2):
+def _upload_segments(seg_iter, depth: int = 2, sharding=None):
     """Async H2D double-buffering: yield (segment, device_frames) pairs
     while keeping up to ``depth`` segments' uploads in flight.
 
@@ -191,7 +191,7 @@ def _upload_segments(seg_iter, depth: int = 2):
 
     q: "deque" = deque()
     for seg in seg_iter:
-        q.append((seg, jax.device_put(seg.sampled)))
+        q.append((seg, jax.device_put(seg.sampled, sharding)))
         if len(q) >= depth:
             yield q.popleft()
     while q:
@@ -228,9 +228,31 @@ class Detector:
         self,
         config: Optional[DetectorConfig] = None,
         weights_dir: Optional[str] = None,
+        mesh=None,
+        data_axis: str = "data",
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — every batch step then
+        runs DP-sharded over ``data_axis`` (frames split across chips,
+        params replicated, XLA inserting the collectives), so analyze_video
+        / multiface / CLI scale to a slice by constructing the Detector
+        with a mesh and nothing else changes."""
         _enable_compilation_cache()
         self.config = config or DetectorConfig()
+        self.mesh = mesh
+        self._frames_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+            if self.config.frame_batch % n_dp:
+                raise ValueError(
+                    f"frame_batch ({self.config.frame_batch}) must be "
+                    f"divisible by the '{data_axis}' mesh axis ({n_dp})"
+                )
+            self._frames_sharding = NamedSharding(
+                mesh, PartitionSpec(data_axis)
+            )
+            self._params_sharding = NamedSharding(mesh, PartitionSpec())
         pnet, _ = load_or_init("pnet", init_pnet, weights_dir)
         rnet, _ = load_or_init("rnet", init_rnet, weights_dir)
         onet, _ = load_or_init("onet", init_onet, weights_dir)
@@ -238,18 +260,26 @@ class Detector:
             "facenet", init_inception_resnet_v1, weights_dir
         )
         landmark, _ = load_or_init("landmark68", init_landmark68, weights_dir)
-        self.params = jax.device_put(
-            DetectorParams(
-                mtcnn=MTCNNParams(pnet=pnet, rnet=rnet, onet=onet),
-                facenet=facenet,
-                landmark=landmark,
-            )
+        params = DetectorParams(
+            mtcnn=MTCNNParams(pnet=pnet, rnet=rnet, onet=onet),
+            facenet=facenet,
+            landmark=landmark,
+        )
+        self.params = (
+            jax.device_put(params)
+            if mesh is None
+            else jax.device_put(params, self._params_sharding)
         )
         self._compute_dtype = jnp.dtype(self.config.compute_dtype)
         self._step = jax.jit(
             partial(
                 _frame_step, cfg=self.config, compute_dtype=self._compute_dtype
-            )
+            ),
+            **(
+                {}
+                if mesh is None
+                else {"in_shardings": (None, self._frames_sharding)}
+            ),
         )
         self._temporal = jax.jit(partial(_temporal_step, cfg=self.config))
         self._score = jax.jit(
@@ -370,7 +400,8 @@ class Detector:
                 in_flight = None
                 t0 = time.perf_counter()
                 for seg, dev_frames in _upload_segments(
-                    reader.segments(interval, cfg.frame_batch)
+                    reader.segments(interval, cfg.frame_batch),
+                    sharding=self._frames_sharding,
                 ):
                     timings["decode"] += time.perf_counter() - t0
                     out = self._step(self.params, dev_frames)
@@ -429,7 +460,9 @@ class Detector:
             chunk = sampled_idx[s : s + b]
             stack = np.zeros((b, *frames.shape[1:]), np.uint8)
             stack[: len(chunk)] = frames[chunk]
-            out = self._step(self.params, jnp.asarray(stack))
+            out = self._step(
+                self.params, jax.device_put(stack, self._frames_sharding)
+            )
             res = self._temporal(
                 out.embedding, out.has_face, jnp.int32(len(chunk)), state
             )
@@ -480,7 +513,12 @@ class Detector:
             self._mstep = jax.jit(
                 partial(
                     _multiface_step, cfg=cfg, compute_dtype=self._compute_dtype
-                )
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    else {"in_shardings": (None, self._frames_sharding)}
+                ),
             )
             self._track_fold = jax.jit(
                 partial(
@@ -515,7 +553,9 @@ class Detector:
             chunk = sampled_idx[s : s + b]
             stack = np.zeros((b, *frames.shape[1:]), np.uint8)
             stack[: len(chunk)] = frames[chunk]
-            boxes, valid, emb = self._mstep(self.params, jnp.asarray(stack))
+            boxes, valid, emb = self._mstep(
+                self.params, jax.device_put(stack, self._frames_sharding)
+            )
             state, _ = self._track_fold(
                 state, boxes, valid, emb, jnp.int32(len(chunk))
             )
@@ -552,7 +592,8 @@ class Detector:
             frame_count = 0
             try:
                 for seg, dev_frames in _upload_segments(
-                    reader.segments(interval, cfg.frame_batch)
+                    reader.segments(interval, cfg.frame_batch),
+                    sharding=self._frames_sharding,
                 ):
                     boxes, valid, emb = self._mstep(self.params, dev_frames)
                     state, outs = self._track_fold(
