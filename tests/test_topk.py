@@ -54,3 +54,16 @@ def test_small_input_fallback():
     v, i = exact_topk_lastdim(jnp.asarray(p), 256)
     np.testing.assert_array_equal(np.asarray(v), rv)
     np.testing.assert_array_equal(np.asarray(i), ri)
+
+
+def test_matches_at_production_scale_recursive():
+    """~4.2M cells, k=256 — the 1080p b128 shape class.  The inner top_k
+    calls recurse through the prefilter (depth ~3); the result must stay
+    bit-identical, ties and all."""
+    rng = np.random.default_rng(3)
+    p = np.round(rng.uniform(0, 1, (2, 2**22 + 131)) * 1023) / 1023
+    p = p.astype(np.float32)
+    rv, ri = ref(p, 256)
+    v, i = exact_topk_lastdim(jnp.asarray(p), 256)
+    np.testing.assert_array_equal(np.asarray(v), rv)
+    np.testing.assert_array_equal(np.asarray(i), ri)

@@ -23,6 +23,26 @@ top-k.  Gathering the selected chunks in ascending id order makes positions
 in the gathered array ascend with global index, so the final top-k breaks
 ties exactly like the global one.  Verified bit-equal on random and heavily
 tied inputs (tests/test_topk.py).
+
+The two inner ``top_k`` calls (over the ~N/chunk chunk maxima and over the
+k*chunk gathered survivors — both (B, 32768) at the production 1080p b128
+shape, 2.4 + 1.2 ms of pure sort in the step trace) are themselves
+large-N top-k problems, so they RECURSE through the same prefilter with a
+size-appropriate chunk until the sort is small (~3.6 ms faster at the
+production shape, scripts/probes/probe_topk2.py).  Exactness is preserved
+by induction: each recursion level is bit-equal to the ``lax.top_k`` it
+replaces.
+
+Platform scope of the tie claim: the index tie-break argument assumes the
+platform's ``lax.top_k`` is itself stable (lowest index wins).  That holds
+on CPU — where every parity/golden gate runs — and is pinned by
+tests/test_topk.py.  On this TPU backend ``lax.top_k``'s own lowering was
+observed to break a value tie by the HIGHER index (probe_topk2.py:
+returned values identical, one 2-way tie resolved differently), so on TPU
+tie ORDER among equal scores follows the platform op and is not
+guaranteed reproducible — true of the non-recursive version too, and
+immaterial downstream (ties only reorder equal-scored candidates entering
+the masked NMS).
 """
 
 from __future__ import annotations
@@ -48,7 +68,7 @@ def exact_topk_lastdim(
     pad = nc * chunk
     pc = p[:, :pad].reshape(b, nc, chunk)
     cmax = pc.max(axis=2)                              # (B, nc)
-    _, cid = jax.lax.top_k(cmax, k)                    # ties -> lowest id
+    _, cid = _topk_shrink(cmax, k)                     # ties -> lowest id
     cid = jnp.sort(cid, axis=1)                        # ascending global order
     rows = jnp.take_along_axis(pc, cid[:, :, None], axis=1)   # (B, k, chunk)
     flat = rows.reshape(b, k * chunk)
@@ -68,5 +88,16 @@ def exact_topk_lastdim(
             ],
             axis=1,
         )
-    vals, i2 = jax.lax.top_k(flat, k)
+    vals, i2 = _topk_shrink(flat, k)
     return vals, jnp.take_along_axis(idx_map, i2, axis=1)
+
+
+def _topk_shrink(p: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k that recurses through the chunk-max prefilter with a
+    size-appropriate chunk when that still shrinks the sort, else falls
+    back to ``lax.top_k``."""
+    n = p.shape[1]
+    chunk = max(8, min(128, n // (16 * max(k, 1))))
+    if k >= n or n // chunk <= k or n < 4 * chunk:
+        return jax.lax.top_k(p, min(k, n))
+    return exact_topk_lastdim(p, k, chunk=chunk)
