@@ -52,3 +52,23 @@ def test_batch_rejects_mixed_resolutions(tmp_path, detector):
     b = write_video(str(tmp_path / "b.mp4"), 1, w=64, h=48)
     with pytest.raises(ValueError, match="equal resolutions"):
         analyze_videos(detector, [a, b])
+
+
+def test_batch_mesh_matches_unsharded(tmp_path, detector):
+    """mesh= forwards to the scheduler: per-video results must be exactly
+    the single-device ones."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    paths = [
+        write_video(str(tmp_path / f"m{i}.mp4"), seed=10 + i, n=10 + 2 * i)
+        for i in range(2)
+    ]
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    solo = analyze_videos(detector, paths, frames_per_video=2)
+    sharded = analyze_videos(detector, paths, frames_per_video=2, mesh=mesh)
+    for a, b in zip(solo, sharded):
+        assert (a.fake_score, a.total_processed, a.flagged_count,
+                a.suspicious_frames) == (b.fake_score, b.total_processed,
+                                         b.flagged_count, b.suspicious_frames)

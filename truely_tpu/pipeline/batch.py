@@ -38,8 +38,11 @@ def analyze_videos(
     paths: Sequence[str],
     *,
     frames_per_video: Optional[int] = None,
+    mesh=None,
 ) -> List[BatchVideoResult]:
-    """Analyze a batch of same-resolution videos concurrently on one chip.
+    """Analyze a batch of same-resolution videos concurrently on one chip
+    — or across a slice: ``mesh`` is forwarded to the scheduler, which
+    DP-shards every packed batch over the mesh's data axis.
 
     All videos must share width/height (one compiled resolution bucket);
     fps may differ per video (per-video sampling intervals).
@@ -58,6 +61,7 @@ def analyze_videos(
         sched = StreamScheduler(
             detector, n_streams=len(paths),
             frames_per_stream=frames_per_video, fps=metas[0].fps,
+            mesh=mesh,
         )
         # Per-video sampling interval (fps may differ between videos);
         # sampling happens here via push_sampled, not in the scheduler.
