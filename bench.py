@@ -70,6 +70,10 @@ def main():
         n_lo, n_hi = 2, 7
         if "--batch" in sys.argv:
             batch = int(sys.argv[sys.argv.index("--batch") + 1])
+        if "--res" in sys.argv:  # e.g. --res 720x1280 (default 1080x1920)
+            height, width = map(
+                int, sys.argv[sys.argv.index("--res") + 1].split("x")
+            )
     else:  # keep the script runnable anywhere (CI, dev boxes)
         height, width, batch = 216, 384, 4
         n_lo, n_hi = 1, 3
@@ -100,7 +104,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "video_frames_per_sec_per_chip_1080p",
+                "metric": f"video_frames_per_sec_per_chip_{height}p",
                 "value": round(video_fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(video_fps / baseline, 4),
