@@ -367,3 +367,60 @@ def test_stage_crop_quant_engages_on_production_path(monkeypatch):
         rng.integers(0, 256, size=(1, 72, 96, 3), dtype=np.uint8))
     detect_faces(params, frames, cfg, dtype=jnp.bfloat16, precision=None)
     assert calls == [(24, 4), (48, 4)]
+
+
+@pytest.mark.slow
+def test_cascade_oracle_parity_1080p_production_capacities():
+    """Capacity faithfulness at the HEADLINE resolution: real clip frames
+    upscaled to 1920x1080 through the cascade with the PRODUCTION
+    capacities (pnet_topk_total=256, rnet=64, onet=32) against the
+    dynamic-shape oracle.  Survivor counts measured at 29-38/frame for
+    these frames/threshold (tuning sweep 2026-08-18), well inside
+    rnet_capacity=64 — capacity truncation must be a non-event and the
+    match exact.  Two frames keep the CPU cost near the 720p test's."""
+    import cv2
+
+    from tests.clip import bundled_clip_path
+    clip = bundled_clip_path()
+    if not clip:
+        pytest.skip("bundled clip not present")
+    cap = cv2.VideoCapture(clip)
+    raw = []
+    while len(raw) < 33:
+        ret, f = cap.read()
+        if not ret:
+            break
+        raw.append(f)
+    cap.release()
+    frames = np.stack(
+        [cv2.resize(f, (1920, 1080)) for f in (raw[0], raw[32])]
+    )
+
+    cfg = MTCNNConfig(thresholds=(0.5555, 0.7, 0.7), nms_max_rounds=0)
+    assert cfg.pnet_topk_total == 256 and cfg.rnet_capacity == 64 \
+        and cfg.onet_capacity == 32, "must run at PRODUCTION capacities"
+    (pnet_t, rnet_t, onet_t), params = make_nets_and_params(13)
+
+    det = detect_faces(
+        params, jnp.asarray(frames), cfg, dtype=None, precision=HIGH
+    )
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    valid = np.asarray(det.valid)
+
+    any_detections = False
+    for b in range(frames.shape[0]):
+        eb, es, _ = oracle_detect(frames[b], pnet_t, rnet_t, onet_t, cfg)
+        got_idx = np.nonzero(valid[b])[0]
+        assert len(got_idx) == len(eb), (
+            f"frame {b}: got {len(got_idx)} boxes, oracle {len(eb)}"
+        )
+        if len(eb) == 0:
+            continue
+        any_detections = True
+        order_g = got_idx[np.argsort(-scores[b, got_idx], kind="stable")]
+        order_e = np.argsort(-es, kind="stable")
+        np.testing.assert_allclose(scores[b, order_g], es[order_e], atol=1e-4)
+        np.testing.assert_allclose(
+            boxes[b, order_g], eb[order_e], atol=0.05, rtol=1e-4)
+    assert any_detections, "no detections on any frame — retune thresholds"
