@@ -874,3 +874,52 @@ def test_analyze_video_managed_inputs_keep_reference_behavior(server, tmp_path, 
     assert stored["output_path"] == path.replace(".mp4", "_output.mp4")
     time.sleep(0.3)
     assert not os.path.exists(path)
+
+
+def test_warmup_precompiles_and_reports_in_health(tmp_path):
+    """warmup_resolutions pre-compiles buckets on a background thread at
+    construction and /health reports requested/done progress."""
+    import time as _time
+
+    calls = []
+
+    class WarmDetector(FakeDetector):
+        facenet_pretrained = True
+
+        def warmup(self, h, w):
+            calls.append((h, w))
+
+    srv = TruelyServer(
+        ServerConfig(warmup_resolutions=("360x640", "1080x1920")),
+        detector=WarmDetector(),
+        agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path),
+        store=ResultStore(),
+    )
+    deadline = _time.time() + 10
+    while len(srv._warmed) < 2 and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert calls == [(360, 640), (1080, 1920)]
+    _, payload = call(srv, "GET", "/health")
+    assert payload["warmup"]["requested"] == ["360x640", "1080x1920"]
+    assert payload["warmup"]["done"] == ["360x640", "1080x1920"]
+
+
+def test_warmup_bad_entry_is_best_effort(tmp_path):
+    import time as _time
+
+    class WarmDetector(FakeDetector):
+        def warmup(self, h, w):
+            pass
+
+    srv = TruelyServer(
+        ServerConfig(warmup_resolutions=("garbage", "64x96")),
+        detector=WarmDetector(),
+        agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path),
+        store=ResultStore(),
+    )
+    deadline = _time.time() + 10
+    while len(srv._warmed) < 1 and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert srv._warmed == ["64x96"]

@@ -87,7 +87,10 @@ def cmd_serve(args) -> int:
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
     )
-    app = create_app(config=ServerConfig(host=args.host, port=args.port))
+    app = create_app(config=ServerConfig(
+        host=args.host, port=args.port,
+        warmup_resolutions=tuple(args.warmup or ()),
+    ))
     app.serve()
     return 0
 
@@ -124,6 +127,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="start the API server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5001)
+    p.add_argument("--warmup", action="append", metavar="HxW",
+                   help="pre-compile this resolution bucket at startup "
+                        "(repeatable, e.g. --warmup 360x640 --warmup "
+                        "1080x1920); progress shows in /health")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

@@ -144,6 +144,10 @@ class ServerConfig:
     # Optional JSON snapshot so unexpired results survive server restarts
     # (the reference loses all results on restart, SURVEY.md §5).
     result_store_path: str = ""
+    # Resolution buckets ("HxW") to pre-compile at startup on a background
+    # thread, so the first /analyze-* request doesn't pay the cold compile
+    # (minutes on remote-compile TPU rigs).  /health reports progress.
+    warmup_resolutions: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

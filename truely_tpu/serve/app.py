@@ -106,6 +106,26 @@ class TruelyServer:
         }
         self.jobs = JobRunner(ttl_seconds=self.config.result_ttl_seconds)
         self.router = self._build_router()
+        self._warmed: list = []
+        if self.config.warmup_resolutions:
+            threading.Thread(
+                target=self._warmup_worker, daemon=True,
+                name="truely-warmup",
+            ).start()
+
+    def _warmup_worker(self) -> None:
+        """Pre-compile the configured resolution buckets (serialized with
+        analyses via the detector lock) so the first request is warm."""
+        for res in self.config.warmup_resolutions:
+            try:
+                h, w = map(int, str(res).lower().split("x"))
+                det = self.detector
+                with self._detector_lock:
+                    det.warmup(h, w)
+                self._warmed.append(f"{h}x{w}")
+                logger.info("warmup: %dx%d bucket compiled", h, w)
+            except Exception as e:  # noqa: BLE001 — warmup is best-effort
+                logger.warning("warmup %r failed: %s", res, e)
 
     def _record_analysis(self, seconds: float, ok: bool) -> None:
         with self._metrics_lock:
@@ -240,11 +260,19 @@ class TruelyServer:
         return Response.file(path)
 
     def health(self, req: Request) -> Response:
-        return Response.json({
+        payload = {
             "status": "ok",
             "results": len(self.store),
             "weights_pretrained": self._weights_pretrained(),
-        })
+        }
+        if self.config.warmup_resolutions:
+            payload["warmup"] = {
+                "requested": [
+                    str(r) for r in self.config.warmup_resolutions
+                ],
+                "done": list(self._warmed),
+            }
+        return Response.json(payload)
 
     def get_metrics(self, req: Request) -> Response:
         with self._metrics_lock:
