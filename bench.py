@@ -100,14 +100,21 @@ def main():
 
     sampled_fps = batch / per_step
     video_fps = sampled_fps * interval
-    baseline = 900.0  # north-star frames/sec/chip
+    baseline = 900.0  # north-star frames/sec/chip, defined AT 1080p
+    # The 900 fps target is a 1080p number; normalizing other buckets by
+    # it would be apples-to-oranges, so --res runs report null.
+    vs = (
+        round(video_fps / baseline, 4)
+        if (height, width) == (1080, 1920) or not on_tpu
+        else None
+    )
     print(
         json.dumps(
             {
                 "metric": f"video_frames_per_sec_per_chip_{height}p",
                 "value": round(video_fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(video_fps / baseline, 4),
+                "vs_baseline": vs,
             }
         )
     )

@@ -94,3 +94,9 @@ def test_crop_quant_flag_builds_config(monkeypatch, capsys):
     rc = main(["analyze", __file__])
     assert rc == 1
     assert seen["config"].mtcnn.stage_crop_quant == 4
+
+
+def test_dp_batch_divisibility_friendly_error(capsys):
+    rc = main(["analyze", __file__, "--dp", "3"])  # default --batch 32
+    assert rc == 1
+    assert "divisible" in capsys.readouterr().err

@@ -189,3 +189,32 @@ def test_mesh_detector_batch_divisibility():
     mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="divisible"):
         Detector(DetectorConfig(frame_batch=6), mesh=mesh)
+
+
+def test_warmup_multiface_compiles_track_jits():
+    """warmup() must compile the graphs run() will use: with multi_face it
+    exercises the multiface step + track fold, not the single-face path."""
+    cfg = DetectorConfig(
+        frame_batch=4, compute_dtype="float32", multi_face=True,
+        mtcnn=MTCNNConfig(pnet_topk_total=16, rnet_capacity=8,
+                          onet_capacity=4, thresholds=(0.5, 0.3, 0.2)),
+    )
+    det = Detector(cfg)
+    assert not hasattr(det, "_mstep")
+    det.warmup(48, 64)
+    assert hasattr(det, "_mstep") and hasattr(det, "_track_fold")
+
+
+def test_sharded_step_cached_per_mesh(detector):
+    """Repeated sharded users (e.g. one StreamScheduler per analyze_videos
+    call) must reuse one jitted step + one replicated param copy."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+    from truely_tpu.pipeline.streaming import StreamScheduler
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    a = StreamScheduler(detector, n_streams=2, frames_per_stream=2, mesh=mesh)
+    b = StreamScheduler(detector, n_streams=2, frames_per_stream=2, mesh=mesh)
+    assert a._sharded_step is b._sharded_step
+    assert a._sharded_params is b._sharded_params

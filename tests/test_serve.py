@@ -913,7 +913,7 @@ def test_warmup_bad_entry_is_best_effort(tmp_path):
             pass
 
     srv = TruelyServer(
-        ServerConfig(warmup_resolutions=("garbage", "64x96")),
+        ServerConfig(warmup_resolutions=("garbage", "64X96")),
         detector=WarmDetector(),
         agents=FakeAgents(),
         acquire_module=FakeAcquire(tmp_path),
@@ -922,4 +922,6 @@ def test_warmup_bad_entry_is_best_effort(tmp_path):
     deadline = _time.time() + 10
     while len(srv._warmed) < 1 and _time.time() < deadline:
         _time.sleep(0.02)
-    assert srv._warmed == ["64x96"]
+    # done entries keep the REQUESTED spelling so clients can compare
+    # done against requested verbatim.
+    assert srv._warmed == ["64X96"]

@@ -50,6 +50,13 @@ def cmd_analyze(args) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.batch % args.dp:
+            print(
+                f"error: --batch {args.batch} must be divisible by "
+                f"--dp {args.dp}",
+                file=sys.stderr,
+            )
+            return 1
         mesh = make_mesh((args.dp, 1), ("data", "model"),
                          devices=devices[: args.dp])
     detector = Detector(config, weights_dir=args.weights, mesh=mesh)

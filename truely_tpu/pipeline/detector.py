@@ -239,11 +239,13 @@ class Detector:
         _enable_compilation_cache()
         self.config = config or DetectorConfig()
         self.mesh = mesh
+        self._data_axis = data_axis
         self._frames_sharding = None
+        self._sharded_cache: dict = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            n_dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+            n_dp = mesh.shape[data_axis]
             if self.config.frame_batch % n_dp:
                 raise ValueError(
                     f"frame_batch ({self.config.frame_batch}) must be "
@@ -293,9 +295,25 @@ class Detector:
     # ------------------------------------------------------------------
 
     def warmup(self, height: int, width: int) -> None:
-        """Pre-compile the resolution bucket (first compile is slow)."""
+        """Pre-compile the resolution bucket (first compile is slow).
+
+        Compiles the graphs ``run()`` will actually use: the multiface
+        step/track jits when ``config.multi_face``, else the single-face
+        step + temporal fold."""
         b = self.config.frame_batch
         frames = jnp.zeros((b, height, width, 3), jnp.uint8)
+        if self.config.multi_face:
+            from truely_tpu.pipeline.tracks import init_track_state
+
+            self._ensure_track_jits()
+            boxes, valid, emb = self._mstep(self.params, frames)
+            state = init_track_state(self.config.max_tracks, emb.shape[-1])
+            state, outs = self._track_fold(
+                state, boxes, valid, emb, jnp.int32(b)
+            )
+            scores = self._track_scores(state, jnp.int32(b), jnp.int32(30))
+            jax.block_until_ready((outs, scores))
+            return
         out = self._step(self.params, frames)
         state = init_temporal_state(out.embedding.shape[-1])
         res = self._temporal(out.embedding, out.has_face, jnp.int32(b), state)
@@ -303,6 +321,26 @@ class Detector:
             jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(1), jnp.int32(30)
         )
         jax.block_until_ready((out, res, score))
+
+    def sharded_step(self, mesh, data_axis: str = "data"):
+        """Cached (step_fn, params, frames_sharding) for DP execution over
+        an explicit mesh — params replicated once per (mesh, axis), the
+        step jitted once (re-jitting per caller cost a full retrace and a
+        ~100 MB weight re-upload per StreamScheduler construction)."""
+        if mesh is self.mesh and data_axis == self._data_axis:
+            return self._step, self.params, self._frames_sharding
+        key = (mesh, data_axis)
+        if key not in self._sharded_cache:
+            from truely_tpu.parallel.sharding import (
+                dp_spec, replicate, shard_frame_step,
+            )
+
+            self._sharded_cache[key] = (
+                shard_frame_step(mesh, self.config, data_axis=data_axis),
+                replicate(mesh, self.params),
+                dp_spec(mesh, data_axis),
+            )
+        return self._sharded_cache[key]
 
     def step_device(self, frames: jax.Array) -> FrameOutputs:
         """One compiled batch step on device-resident frames."""

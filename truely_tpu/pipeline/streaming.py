@@ -76,21 +76,16 @@ class StreamScheduler:
         self.frames_per_stream = f
         self._mesh = mesh
         if mesh is not None:
-            from truely_tpu.parallel.sharding import (
-                dp_spec, replicate, shard_frame_step,
-            )
-
-            n_dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+            n_dp = mesh.shape[data_axis]
             if (n_streams * f) % n_dp:
                 raise ValueError(
                     f"streams*frames_per_stream ({n_streams}*{f}) must be "
                     f"divisible by the '{data_axis}' mesh axis ({n_dp})"
                 )
-            self._sharded_step = shard_frame_step(
-                mesh, self.config, data_axis=data_axis
-            )
-            self._sharded_params = replicate(mesh, detector.params)
-            self._frames_sharding = dp_spec(mesh, data_axis)
+            # Cached on the detector: re-jitting per scheduler cost a full
+            # retrace + replicated weight re-upload per construction.
+            (self._sharded_step, self._sharded_params,
+             self._frames_sharding) = detector.sharded_step(mesh, data_axis)
         self._queues: List[Deque[Tuple[int, np.ndarray]]] = [
             collections.deque() for _ in range(n_streams)
         ]
@@ -165,9 +160,11 @@ class StreamScheduler:
 
         flat = batch.reshape(s * f, h, w, 3)
         if self._mesh is not None:
-            frames_dev = jax.device_put(
-                jnp.asarray(flat), self._frames_sharding
-            )
+            # device_put the HOST array with the sharding directly: going
+            # through jnp.asarray first lands the whole batch on device 0
+            # and reshards device-to-device — an extra full-batch hop in
+            # the per-step hot path.
+            frames_dev = jax.device_put(flat, self._frames_sharding)
             out = self._sharded_step(self._sharded_params, frames_dev)
         else:
             out = self.detector.step_device(jnp.asarray(flat))

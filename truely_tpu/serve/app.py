@@ -122,7 +122,9 @@ class TruelyServer:
                 det = self.detector
                 with self._detector_lock:
                     det.warmup(h, w)
-                self._warmed.append(f"{h}x{w}")
+                # Record the REQUESTED spelling so clients can compare
+                # done against requested verbatim (e.g. "1080X1920").
+                self._warmed.append(str(res))
                 logger.info("warmup: %dx%d bucket compiled", h, w)
             except Exception as e:  # noqa: BLE001 — warmup is best-effort
                 logger.warning("warmup %r failed: %s", res, e)
