@@ -55,8 +55,13 @@ def restore_train_state(directory: str, template: Any,
     path = os.path.join(os.path.abspath(directory), f"step_{step:08d}")
     import orbax.checkpoint as ocp
 
+    # Restore args carry each leaf's sharding from the template, so arrays
+    # land on the CURRENT topology's shardings (restoring without them
+    # reads sharding from the checkpoint file — slower, and wrong when the
+    # mesh differs from the one that saved).
+    item = jax.tree_util.tree_map(lambda x: x, template)
     restored = _checkpointer().restore(
-        path, item=jax.tree_util.tree_map(lambda x: x, template)
+        path, item=item,
+        restore_args=ocp.checkpoint_utils.construct_restore_args(item),
     )
-    del ocp
     return restored
