@@ -135,3 +135,33 @@ def test_mesh_divisibility_error(detector):
     mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="divisible"):
         StreamScheduler(detector, n_streams=3, frames_per_stream=2, mesh=mesh)
+
+
+def test_reset_stream_recycles_slot_exactly(detector):
+    """After reset_stream, a new stream in the slot must score exactly as
+    if analyzed alone — no queued frames, counters, or stats leak from the
+    slot's previous occupant."""
+    fps = 10
+    first = make_stream(20, n=16)
+    second = make_stream(21, n=16)
+
+    sched = StreamScheduler(detector, n_streams=2, frames_per_stream=4,
+                            fps=fps)
+    for t in range(16):
+        sched.push(0, first[t])
+    sched.drain()
+    assert sched.stats[0].processed == 16
+
+    sched.push(0, first[0])          # queued but never processed
+    sched.reset_stream(0)
+    assert sched.pending() == 0
+    assert sched.stats[0].processed == 0
+    assert sched.stream_counter(0) == 0
+
+    for t in range(16):
+        sched.push(0, second[t])
+    sched.drain()
+    solo = detector.analyze_frames(second, fps=fps)
+    assert sched.score(0) == solo.fake_score
+    assert sched.stats[0].processed == solo.total_processed
+    assert sched.stats[0].flagged_count == solo.flagged_count

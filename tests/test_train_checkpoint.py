@@ -93,3 +93,51 @@ def test_checkpoint_roundtrip(tmp_path, trained_state):
     # training continues from the restored state
     state2, _ = step_fn(restored, tiny_batch())
     assert int(state2.step) == 4
+
+
+def test_checkpoint_restores_across_topologies(tmp_path):
+    """Elastic recovery: state saved from a 4-way DP mesh restores onto a
+    2-way mesh (and onto a single device) with identical values, landing
+    on the TEMPLATE's shardings — restore_args carry sharding from the
+    template, not the file, so a topology change between save and restore
+    is safe."""
+    mesh4 = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    init_fn, step_fn = make_train_step(mesh4, compute_dtype=jnp.float32)
+    state = init_fn(replicate(mesh4, tiny_params()))
+    with jax.set_mesh(mesh4):
+        batch = jax.device_put(tiny_batch(b=8), Batch(
+            crops_a=dp_spec(mesh4), crops_b=dp_spec(mesh4),
+            landmarks=dp_spec(mesh4),
+        ))
+        state, _ = step_fn(state, batch)
+    ckpt_dir = str(tmp_path / "ckpt4")
+    save_train_state(ckpt_dir, state)
+
+    # Restore onto a DIFFERENT mesh (2 devices, disjoint from the first
+    # two of mesh4's ordering is fine — shardings come from the template).
+    mesh2 = make_mesh((2, 1), ("data", "model"), devices=jax.devices()[4:6])
+    init2, step2 = make_train_step(mesh2, compute_dtype=jnp.float32)
+    with jax.set_mesh(mesh2):
+        # template built IN the mesh context so scalar leaves (opt counts)
+        # land on the mesh too, not the default device.
+        template2 = init2(replicate(mesh2, tiny_params()))
+    restored2 = restore_train_state(ckpt_dir, template2)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues on the new topology
+    with jax.set_mesh(mesh2):
+        batch2 = jax.device_put(tiny_batch(b=4), Batch(
+            crops_a=dp_spec(mesh2), crops_b=dp_spec(mesh2),
+            landmarks=dp_spec(mesh2),
+        ))
+        state2, _ = step2(restored2, batch2)
+    assert int(state2.step) == int(state.step) + 1
+
+    # single-device template restores too
+    init1, _ = make_train_step(compute_dtype=jnp.float32)
+    template1 = init1(tiny_params())
+    restored1 = restore_train_state(ckpt_dir, template1)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

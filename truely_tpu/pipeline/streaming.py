@@ -131,6 +131,20 @@ class StreamScheduler:
         """Current run-length counter of one stream (host fetch)."""
         return int(np.asarray(self._states.counter[stream_id]))
 
+    def reset_stream(self, stream_id: int) -> None:
+        """Recycle a stream slot for a new live stream: drop queued frames
+        and zero the temporal state and stats.  Live feeds churn — a
+        viewer closes one video and opens another — and the slot must not
+        carry the previous stream's run-length/counter into the next
+        (same statistics-leak class the track spawner resets against,
+        pipeline/tracks.py)."""
+        self._queues[stream_id].clear()
+        fresh = init_temporal_state(512)
+        self._states = jax.tree_util.tree_map(
+            lambda all_s, f: all_s.at[stream_id].set(f), self._states, fresh
+        )
+        self.stats[stream_id] = StreamStats()
+
     def pending(self) -> int:
         return sum(len(q) for q in self._queues)
 
