@@ -100,3 +100,32 @@ def test_dp_batch_divisibility_friendly_error(capsys):
     rc = main(["analyze", __file__, "--dp", "3"])  # default --batch 32
     assert rc == 1
     assert "divisible" in capsys.readouterr().err
+
+
+def test_multi_face_flag_routes_to_track_analysis(monkeypatch, capsys):
+    """--multi-face must set DetectorConfig.multi_face and print the
+    per-track scores from analyze_video_multiface."""
+    import numpy as np
+
+    seen = {}
+
+    class FakeDetector:
+        facenet_pretrained = True
+
+        def __init__(self, config, weights_dir=None, mesh=None):
+            seen["config"] = config
+
+        def analyze_video_multiface(self, video, output):
+            return 77, np.asarray([77, 12, 0, 0]), None
+
+        def analyze_video(self, video, output):
+            raise AssertionError("single-face path must not run")
+
+    import truely_tpu.pipeline.detector as det_mod
+    monkeypatch.setattr(det_mod, "Detector", FakeDetector)
+    rc = main(["analyze", __file__, "--multi-face", "--compact"])
+    assert rc == 0
+    assert seen["config"].multi_face is True
+    import json as _json
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload == {"fakeScore": 77, "trackScores": [77, 12, 0, 0]}

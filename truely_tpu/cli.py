@@ -31,6 +31,7 @@ def cmd_analyze(args) -> int:
         frame_batch=args.batch,
         reference_compat=not args.corrected,
         use_pallas_crop=args.pallas_crop,
+        multi_face=args.multi_face,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -66,6 +67,23 @@ def cmd_analyze(args) -> int:
             "running with seeded random weights — scores are not meaningful",
             file=sys.stderr,
         )
+    if args.multi_face:
+        # BASELINE config 4: per-track scoring, aggregate = max over tracks.
+        try:
+            score, per_track, _ = detector.analyze_video_multiface(
+                args.video, args.output
+            )
+        except (IOError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        payload = {
+            "fakeScore": int(score),
+            "trackScores": [int(s) for s in per_track],
+        }
+        if args.output:
+            payload["outputPath"] = args.output
+        print(json.dumps(payload, indent=None if args.compact else 2))
+        return 0
     try:
         result = detector.analyze_video(args.video, args.output)
     except (IOError, OSError) as e:
@@ -126,6 +144,10 @@ def main(argv=None) -> int:
                         "stage-crop dots contract the block-mean frame "
                         "(FLOPs/N^2 on the step's top-2 device ops); 1 = "
                         "exact full-resolution crops")
+    p.add_argument("--multi-face", action="store_true",
+                   help="score every tracked face (aggregate = max over "
+                        "tracks) instead of the reference's first face "
+                        "only; prints per-track scores")
     p.add_argument("--dp", type=int, default=1,
                    help="shard each frame batch over the first N devices "
                         "(data-parallel mesh); batch must divide by N")
