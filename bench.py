@@ -79,7 +79,14 @@ def main():
         n_lo, n_hi = 1, 3
 
     fps_video = 30
-    config = DetectorConfig(frame_batch=batch)
+    quant = 4
+    if "--crop-quant" in sys.argv:  # stage-crop box grid (1 = exact)
+        quant = int(sys.argv[sys.argv.index("--crop-quant") + 1])
+    from truely_tpu.config import MTCNNConfig
+
+    config = DetectorConfig(
+        frame_batch=batch, mtcnn=MTCNNConfig(stage_crop_quant=quant)
+    )
     det = Detector(config)
     interval = config.sample_interval(fps_video)  # 4 at 30 fps
 
