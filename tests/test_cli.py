@@ -129,3 +129,10 @@ def test_multi_face_flag_routes_to_track_analysis(monkeypatch, capsys):
     import json as _json
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload == {"fakeScore": 77, "trackScores": [77, 12, 0, 0]}
+
+
+def test_warmup_resolution_validated_at_parse_time():
+    with pytest.raises(SystemExit):
+        main(["serve", "--warmup", "1080p"])
+    with pytest.raises(SystemExit):
+        main(["serve", "--warmup", "0x640"])

@@ -218,3 +218,21 @@ def test_sharded_step_cached_per_mesh(detector):
     b = StreamScheduler(detector, n_streams=2, frames_per_stream=2, mesh=mesh)
     assert a._sharded_step is b._sharded_step
     assert a._sharded_params is b._sharded_params
+
+
+def test_sharded_step_equal_mesh_hits_fast_path(detector):
+    """An equal-but-rebuilt Mesh must reuse the detector's own jitted step
+    (identity comparison re-traced a bit-identical graph)."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    mesh_a = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    det = Detector(detector.config, mesh=mesh_a)
+    # jax interns equal Meshes (same ctor args -> same object), so this
+    # may or may not be the same instance; equality is the contract.
+    mesh_b = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    assert mesh_b == mesh_a
+    step, params, sharding = det.sharded_step(mesh_b)
+    assert step is det._step
+    assert params is det.params

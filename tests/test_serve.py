@@ -913,15 +913,16 @@ def test_warmup_bad_entry_is_best_effort(tmp_path):
             pass
 
     srv = TruelyServer(
-        ServerConfig(warmup_resolutions=("garbage", "64X96")),
+        ServerConfig(warmup_resolutions=("garbage", "64X96", "64x96")),
         detector=WarmDetector(),
         agents=FakeAgents(),
         acquire_module=FakeAcquire(tmp_path),
         store=ResultStore(),
     )
     deadline = _time.time() + 10
-    while len(srv._warmed) < 1 and _time.time() < deadline:
+    while len(srv._warmed) < 2 and _time.time() < deadline:
         _time.sleep(0.02)
     # done entries keep the REQUESTED spelling so clients can compare
-    # done against requested verbatim.
-    assert srv._warmed == ["64X96"]
+    # done against requested verbatim; duplicate spellings of one bucket
+    # all land in done (compiled once).
+    assert srv._warmed == ["64X96", "64x96"]

@@ -165,3 +165,25 @@ def test_reset_stream_recycles_slot_exactly(detector):
     assert sched.score(0) == solo.fake_score
     assert sched.stats[0].processed == solo.total_processed
     assert sched.stats[0].flagged_count == solo.flagged_count
+
+
+def test_scheduler_defaults_to_detectors_mesh(detector):
+    """A mesh-constructed Detector's step only accepts sharded batches;
+    the scheduler must inherit that mesh when none is passed (otherwise
+    the unsharded path feeds an in_shardings jit and breaks)."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+    from truely_tpu.pipeline.detector import Detector
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    det = Detector(detector.config, mesh=mesh)
+    sched = StreamScheduler(det, n_streams=2, frames_per_stream=4, fps=10)
+    assert sched._mesh is mesh
+    stream = make_stream(30, n=8)
+    for t in range(8):
+        sched.push(0, stream[t])
+    events = sched.drain()
+    assert len(events) == 8
+    solo = detector.analyze_frames(stream, fps=10)
+    assert sched.score(0) == solo.fake_score

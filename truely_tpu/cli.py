@@ -156,7 +156,21 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="start the API server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5001)
+    def _resolution(value: str) -> str:
+        # Validate at parse time: a malformed bucket would otherwise be
+        # discovered minutes into runtime as a background-thread warning.
+        try:
+            h, w = map(int, value.lower().split("x"))
+            if h <= 0 or w <= 0:
+                raise ValueError
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"expected HxW (e.g. 1080x1920), got {value!r}"
+            )
+        return value
+
     p.add_argument("--warmup", action="append", metavar="HxW",
+                   type=_resolution,
                    help="pre-compile this resolution bucket at startup "
                         "(repeatable, e.g. --warmup 360x640 --warmup "
                         "1080x1920); progress shows in /health")

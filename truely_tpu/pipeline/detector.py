@@ -327,7 +327,10 @@ class Detector:
         an explicit mesh — params replicated once per (mesh, axis), the
         step jitted once (re-jitting per caller cost a full retrace and a
         ~100 MB weight re-upload per StreamScheduler construction)."""
-        if mesh is self.mesh and data_axis == self._data_axis:
+        # Equality, not identity: an equal-but-rebuilt Mesh (same devices,
+        # same axes — e.g. two make_mesh calls) must hit the pre-jitted
+        # step, not re-trace a bit-identical graph.
+        if mesh == self.mesh and data_axis == self._data_axis:
             return self._step, self.params, self._frames_sharding
         key = (mesh, data_axis)
         if key not in self._sharded_cache:

@@ -74,6 +74,13 @@ class StreamScheduler:
         self.sample_interval = self.config.sample_interval(fps)
         f = frames_per_stream or max(1, self.config.frame_batch // n_streams)
         self.frames_per_stream = f
+        # A mesh-constructed Detector is ALWAYS sharded (its step is jitted
+        # with in_shardings), so default to its mesh: feeding it unsharded
+        # batches would bypass the divisibility guard and pay a device-0
+        # upload + reshard hop per step.
+        if mesh is None and getattr(detector, "mesh", None) is not None:
+            mesh = detector.mesh
+            data_axis = detector._data_axis
         self._mesh = mesh
         if mesh is not None:
             n_dp = mesh.shape[data_axis]

@@ -116,16 +116,21 @@ class TruelyServer:
     def _warmup_worker(self) -> None:
         """Pre-compile the configured resolution buckets (serialized with
         analyses via the detector lock) so the first request is warm."""
+        compiled = set()
         for res in self.config.warmup_resolutions:
             try:
                 h, w = map(int, str(res).lower().split("x"))
-                det = self.detector
-                with self._detector_lock:
-                    det.warmup(h, w)
+                if (h, w) not in compiled:
+                    det = self.detector
+                    with self._detector_lock:
+                        det.warmup(h, w)
+                    compiled.add((h, w))
+                    logger.info("warmup: %dx%d bucket compiled", h, w)
                 # Record the REQUESTED spelling so clients can compare
-                # done against requested verbatim (e.g. "1080X1920").
+                # done against requested verbatim (e.g. "1080X1920");
+                # duplicate spellings of one bucket compile once but each
+                # still lands in done.
                 self._warmed.append(str(res))
-                logger.info("warmup: %dx%d bucket compiled", h, w)
             except Exception as e:  # noqa: BLE001 — warmup is best-effort
                 logger.warning("warmup %r failed: %s", res, e)
 
