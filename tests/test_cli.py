@@ -136,3 +136,46 @@ def test_warmup_resolution_validated_at_parse_time():
         main(["serve", "--warmup", "1080p"])
     with pytest.raises(SystemExit):
         main(["serve", "--warmup", "0x640"])
+
+
+def test_serve_flags_build_detector_factory(monkeypatch):
+    """serve accepts the same detector knobs as analyze and plumbs them
+    into the server's lazily-built detector via detector_factory."""
+    seen = {}
+
+    class FakeApp:
+        def serve(self):
+            pass
+
+    def fake_create_app(config=None, detector_factory=None):
+        seen["config"] = config
+        seen["factory"] = detector_factory
+        return FakeApp()
+
+    class FakeDetector:
+        def __init__(self, config, weights_dir=None, mesh=None):
+            seen["det_config"] = config
+            seen["weights_dir"] = weights_dir
+            seen["mesh"] = mesh
+
+    import truely_tpu.serve.app as app_mod
+    import truely_tpu.pipeline.detector as det_mod
+    monkeypatch.setattr(app_mod, "create_app", fake_create_app)
+    monkeypatch.setattr(det_mod, "Detector", FakeDetector)
+
+    rc = main(["serve", "--port", "5009", "--batch", "16", "--multi-face",
+               "--crop-quant", "8", "--warmup", "64x96"])
+    assert rc == 0
+    assert seen["config"].port == 5009
+    assert seen["config"].warmup_resolutions == ("64x96",)
+    seen["factory"]()  # build the detector through the factory
+    assert seen["det_config"].frame_batch == 16
+    assert seen["det_config"].multi_face is True
+    assert seen["det_config"].mtcnn.stage_crop_quant == 8
+    assert seen["mesh"] is None
+
+
+def test_serve_dp_batch_divisibility_error(capsys):
+    rc = main(["serve", "--dp", "3", "--batch", "32"])
+    assert rc == 1
+    assert "divisible" in capsys.readouterr().err

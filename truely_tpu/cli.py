@@ -105,17 +105,54 @@ def cmd_analyze(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from truely_tpu.config import ServerConfig
-    from truely_tpu.serve.app import create_app
+    from truely_tpu.config import DetectorConfig, MTCNNConfig, ServerConfig
+    from truely_tpu.serve import app as serve_app
 
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
     )
-    app = create_app(config=ServerConfig(
-        host=args.host, port=args.port,
-        warmup_resolutions=tuple(args.warmup or ()),
-    ))
+
+    def detector_factory():
+        # Same detector knobs as `analyze`, applied to the server's
+        # lazily-built (or warmup-built) detector.
+        from truely_tpu.pipeline.detector import Detector
+
+        mesh = None
+        if args.dp > 1:
+            import jax
+
+            from truely_tpu.parallel.mesh import make_mesh
+
+            devices = jax.devices()
+            if len(devices) < args.dp:
+                raise RuntimeError(
+                    f"--dp {args.dp} needs {args.dp} devices, have "
+                    f"{len(devices)}"
+                )
+            mesh = make_mesh((args.dp, 1), ("data", "model"),
+                             devices=devices[: args.dp])
+        config = DetectorConfig(
+            frame_batch=args.batch,
+            multi_face=args.multi_face,
+            mtcnn=MTCNNConfig(stage_crop_quant=args.crop_quant),
+        )
+        return Detector(config, weights_dir=args.weights, mesh=mesh)
+
+    if args.dp > 1 and args.batch % args.dp:
+        print(
+            f"error: --batch {args.batch} must be divisible by --dp "
+            f"{args.dp}",
+            file=sys.stderr,
+        )
+        return 1
+    app = serve_app.create_app(
+        config=ServerConfig(
+            host=args.host, port=args.port,
+            warmup_resolutions=tuple(args.warmup or ()),
+        ),
+        detector_factory=detector_factory,
+    )
     app.serve()
     return 0
 
@@ -156,6 +193,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="start the API server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5001)
+    p.add_argument("--batch", type=int, default=32,
+                   help="device frame batch for the server's detector")
+    p.add_argument("--weights", help="directory of converted .npz weights")
+    p.add_argument("--multi-face", action="store_true",
+                   help="per-track scoring for /analyze-* (aggregate = "
+                        "max over tracks)")
+    p.add_argument("--crop-quant", type=int, default=4,
+                   help="stage-crop box grid (1 = exact; see analyze)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard the server's frame batches over the first "
+                        "N devices")
     def _resolution(value: str) -> str:
         # Validate at parse time: a malformed bucket would otherwise be
         # discovered minutes into runtime as a background-thread warning.
