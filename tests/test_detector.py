@@ -236,3 +236,31 @@ def test_sharded_step_equal_mesh_hits_fast_path(detector):
     step, params, sharding = det.sharded_step(mesh_b)
     assert step is det._step
     assert params is det.params
+
+
+def test_abandoned_segments_generator_stops_producer(tmp_path):
+    """Breaking out of segments() mid-iteration (the error path) must stop
+    the prefetch producer promptly — a blocking q.put parked it forever
+    holding every decoded frame — and close() must not release the capture
+    while the producer is still decoding."""
+    import time
+
+    from truely_tpu.media.decode import VideoReader
+
+    path = str(tmp_path / "long.mp4")
+    synth_video(path, n=120)
+    reader = VideoReader(path)
+    gen = reader.segments(1, 4)   # 30 segments; prefetch queue holds 2
+    next(gen)                     # producer now racing ahead
+    gen.close()                   # abandon early (what an error path does)
+    t = reader._active_thread
+    deadline = time.time() + 5
+    while t is not None and t.is_alive() and time.time() < deadline:
+        time.sleep(0.02)
+    assert reader._active_thread is None or not reader._active_thread.is_alive()
+    reader.close()                # must return promptly, no race
+
+    # the reader still works for a fresh full pass
+    with VideoReader(path) as r2:
+        segs = list(r2.segments(1, 8))
+        assert sum(s.n_valid for s in segs) == 120

@@ -136,3 +136,81 @@ def test_odd_resolution_bucket(detector):
     frames = rng.integers(0, 256, (5, 57, 111, 3), dtype=np.uint8)
     res = detector.analyze_frames(frames, fps=10)
     assert res.total_processed == 5
+
+
+# ---------------------------------------------------------------------------
+# Raw-socket robustness (bugs the JSON-level tests can't see)
+# ---------------------------------------------------------------------------
+
+
+def _raw_server(handler_map):
+    """Start a real socket server with explicit routes; returns (srv, port)."""
+    from truely_tpu.serve.http import Router, make_server, serve_forever_in_thread
+
+    router = Router()
+    for (method, pattern), fn in handler_map.items():
+        router.add(method, pattern, fn)
+    srv = make_server(router, "127.0.0.1", 0)
+    serve_forever_in_thread(srv)
+    return srv, srv.server_address[1]
+
+
+def test_negative_content_length_does_not_hang():
+    """Content-Length: -5 must be treated as 0, not rfile.read(-5) (which
+    reads to EOF and parks the handler thread + semaphore slot until the
+    client disconnects)."""
+    import socket
+
+    from truely_tpu.serve.http import Response
+
+    srv, port = _raw_server({
+        ("POST", "/echo"): lambda req: Response.json({"n": len(req.body)}),
+    })
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.settimeout(5)
+            s.sendall(b"POST /echo HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: -5\r\n\r\n")
+            data = b""
+            while b'{"n": 0}' not in data:  # times out if the thread hung
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+        assert b"200" in data.split(b"\r\n", 1)[0]
+        assert b'{"n": 0}' in data
+    finally:
+        srv.shutdown()
+
+
+def test_file_vanishing_mid_stream_keeps_server_alive(tmp_path):
+    """The TTL sweep can delete a video between Response.file() and the
+    streaming loop; the handler must log-and-drop, not kill the thread's
+    ability to serve the next request."""
+    import os
+    import urllib.request as _rq
+
+    from truely_tpu.serve.http import Response
+
+    path = str(tmp_path / "gone.bin")
+    with open(path, "wb") as f:
+        f.write(b"x" * 1024)
+
+    def handler(req):
+        resp = Response.file(path)
+        os.remove(path)          # simulate the sweep racing the stream
+        return resp
+
+    srv, port = _raw_server({
+        ("GET", "/gone"): handler,
+        ("GET", "/ok"): lambda req: Response.json({"ok": True}),
+    })
+    try:
+        try:
+            _rq.urlopen(f"http://127.0.0.1:{port}/gone", timeout=5).read()
+        except Exception:
+            pass  # truncated/dropped response is the expected outcome
+        out = json.load(_rq.urlopen(f"http://127.0.0.1:{port}/ok", timeout=5))
+        assert out == {"ok": True}
+    finally:
+        srv.shutdown()

@@ -49,6 +49,8 @@ class VideoReader:
             raise IOError(f"could not open video: {path}")
         self._rgb = rgb
         self._prefetch = prefetch
+        self._active_stop: Optional[threading.Event] = None
+        self._active_thread: Optional[threading.Thread] = None
         self.meta = VideoMeta(
             width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
             height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
@@ -64,6 +66,15 @@ class VideoReader:
             )
 
     def close(self) -> None:
+        # Stop any in-flight prefetch producer BEFORE releasing the
+        # capture: cv2.VideoCapture is not safe against a concurrent
+        # read()/release() (the error path closed the reader while the
+        # producer thread could still be decoding).
+        stop, t = self._active_stop, self._active_thread
+        if stop is not None:
+            stop.set()
+        if t is not None and t.is_alive():
+            t.join(timeout=10.0)
         self._cap.release()
 
     def __enter__(self):
@@ -97,6 +108,20 @@ class VideoReader:
         background thread so host decode overlaps device compute."""
         q: "queue.Queue[Optional[Segment]]" = queue.Queue(maxsize=self._prefetch)
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone: a plain
+            q.put deadlocked the producer forever (holding hundreds of MB
+            of frames) whenever the consumer abandoned the generator on an
+            error path."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -106,9 +131,9 @@ class VideoReader:
                 sampled: List[np.ndarray] = []
                 sampled_idx: List[int] = []
 
-                def flush():
+                def flush() -> bool:
                     if not cur_frames:
-                        return
+                        return True
                     n_valid = len(sampled)
                     stack = np.zeros((batch, h, w, 3), np.uint8)
                     if n_valid:
@@ -117,7 +142,7 @@ class VideoReader:
                         from truely_tpu.media import native
 
                         native.pack_frames(stack, sampled, list(range(n_valid)))
-                    q.put(
+                    ok = put(
                         Segment(
                             frames=list(cur_frames),
                             frame_indices=list(cur_idx),
@@ -130,28 +155,50 @@ class VideoReader:
                     cur_idx.clear()
                     sampled.clear()
                     sampled_idx.clear()
+                    return ok
 
                 for idx, frame in self._decode_all():
+                    if stop.is_set():
+                        return
                     cur_frames.append(frame)
                     cur_idx.append(idx)
                     if idx % sample_interval == 0:
                         sampled.append(frame)
                         sampled_idx.append(idx)
                         if len(sampled) == batch:
-                            flush()
+                            if not flush():
+                                return
                 flush()
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
+        self._active_stop, self._active_thread = stop, t
         t.start()
-        while True:
-            seg = q.get()
-            if seg is None:
-                break
-            yield seg
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                try:
+                    seg = q.get(timeout=0.5)
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+                    continue
+                if seg is None:
+                    break
+                yield seg
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # Generator closed early (consumer error/break) or finished:
+            # unblock and retire the producer before the capture can be
+            # released out from under it.
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.05)
+            self._active_stop = self._active_thread = None

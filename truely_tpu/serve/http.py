@@ -218,14 +218,28 @@ class _HTTPHandler(BaseHTTPRequestHandler):
                         remaining -= len(chunk)
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client hung up mid-stream (seek, tab close)
+            except OSError as e:
+                # File vanished between Response.file() and streaming (the
+                # TTL sweep deletes expired videos).  Headers are already
+                # out, so the only honest move is to drop the connection —
+                # but the handler thread must survive for the next request.
+                logger.warning("file stream failed for %s: %s",
+                               resp.file_path, e)
+                self.close_connection = True
         else:
-            self.wfile.write(resp.content)
+            try:
+                self.wfile.write(resp.content)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
 
     def _handle(self, method: str) -> None:
         parsed = urlparse(self.path)
         query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
         try:
-            length = int(self.headers.get("Content-Length") or 0)
+            # max(0, ...): a negative Content-Length would make
+            # rfile.read(-N) read to EOF — blocking the handler thread
+            # (and its semaphore slot) until the client disconnects.
+            length = max(0, int(self.headers.get("Content-Length") or 0))
         except ValueError:
             length = 0
         if length > MAX_BODY_BYTES:
