@@ -68,9 +68,15 @@ class JobRunner:
         self._worker: Optional[threading.Thread] = None
 
     def _ensure_worker(self) -> None:
-        if self._worker is None or not self._worker.is_alive():
-            self._worker = threading.Thread(target=self._loop, daemon=True)
-            self._worker.start()
+        # Under the lock: two concurrent submits could otherwise both see a
+        # missing worker and start two, breaking the single-worker queue
+        # contract (device serialization would still hold downstream).
+        with self._lock:
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(
+                    target=self._loop, daemon=True
+                )
+                self._worker.start()
 
     def submit(self, kind: str, fn: Callable[[], Dict[str, Any]]) -> Job:
         job = Job(job_id=str(uuid.uuid4()), kind=kind)
