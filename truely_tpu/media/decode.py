@@ -75,6 +75,18 @@ class VideoReader:
             stop.set()
         if t is not None and t.is_alive():
             t.join(timeout=10.0)
+            if t.is_alive():
+                # The producer is still blocked inside _cap.read(); releasing
+                # now would recreate the concurrent read()/release() crash
+                # this guard exists for.  Leak the capture instead — the
+                # daemon thread plus process exit bounds it.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "decode producer did not exit within 10s; leaking the "
+                    "cv2 capture rather than releasing under a live reader"
+                )
+                return
         self._cap.release()
 
     def __enter__(self):
@@ -183,6 +195,19 @@ class VideoReader:
                     seg = q.get(timeout=0.5)
                 except queue.Empty:
                     if not t.is_alive():
+                        # The producer can flush its final Segment (and the
+                        # None sentinel) and exit in the window between the
+                        # get timeout expiring and this liveness check —
+                        # drain before concluding EOF, or the last segment's
+                        # frames silently vanish from the analysis.
+                        while True:
+                            try:
+                                seg = q.get_nowait()
+                            except queue.Empty:
+                                break
+                            if seg is None:
+                                break
+                            yield seg
                         break
                     continue
                 if seg is None:

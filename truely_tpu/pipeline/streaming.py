@@ -146,7 +146,9 @@ class StreamScheduler:
         (same statistics-leak class the track spawner resets against,
         pipeline/tracks.py)."""
         self._queues[stream_id].clear()
-        fresh = init_temporal_state(512)
+        # Derive the embedding dim from the constructed state rather than
+        # re-hardcoding it: a mismatched fresh state would corrupt the slot.
+        fresh = init_temporal_state(self._states.prev_embedding.shape[-1])
         self._states = jax.tree_util.tree_map(
             lambda all_s, f: all_s.at[stream_id].set(f), self._states, fresh
         )
