@@ -33,14 +33,17 @@ class MTCNNConfig:
     # (ops/nms_pallas.py) instead of the XLA fixpoint.  Identical results
     # (tested bit-equal on TPU); the grouped per-scale call always uses XLA.
     use_pallas_nms: bool = False
-    # Run the R-Net/O-Net stage crops through the fused Pallas kernel
-    # (ops/crop_area_fused.py): the exact column-sum intermediate stays in
-    # VMEM instead of round-tripping HBM.  Bit-exact with the XLA path
-    # (tested), but measured SLOWER at 1080p b128 (78 vs 46 ms for K=64
-    # O=24; 101 vs 53 ms for K=32 O=48): the all-pairs second contraction
-    # writes ~0.9 GB and the per-tile int8->bf16 converts run on the VPU.
-    # Kept as an opt-in reference implementation.  TPU-only; ignored on CPU.
-    use_fused_crops: bool = False
+    # Run the R-Net/O-Net stage crops through a fused Pallas kernel instead
+    # of the XLA matmul path: 0/False = off (default), 1/True =
+    # ops/crop_area_fused.py (all-pairs second contraction; measured 78 vs
+    # 46 ms for K=64 O=24, 101 vs 53 ms for K=32 O=48 at 1080p b128),
+    # 2 = ops/crop_fused2.py (single frame pass, column sums VMEM-resident;
+    # 62.6 vs 30.4 ms, scripts/probes/probe_fused2.py).  Both bit-exact
+    # with the XLA path (tested) but measured slower — the full-resolution
+    # crop dots are FLOP-bound at ~78% of bf16 MXU peak, so the XLA path
+    # stands.  Kept as opt-in reference implementations.  TPU-only;
+    # ignored on CPU.  (bool works: True selects v1.)
+    use_fused_crops: int = 0
     # Run the P-Net trunk in the width-folded layout (ops/fold.py): F=4
     # adjacent pixels fold into channels so the 3/10/16/32-channel convs
     # become 12->40/40->64/64->128-channel convs that reach real MXU

@@ -36,6 +36,9 @@ from truely_tpu.ops.boxes import bbreg, rerec, pad_crop_bounds
 from truely_tpu.ops.crop_area_fused import (
     crop_resize_area_fused, prep_frames_for_fused_crops,
 )
+from truely_tpu.ops.crop_fused2 import (
+    crop_resize_area_fused2, prep_frames_fused2,
+)
 from truely_tpu.ops.nms import nms_masked_batch, NEG_INF
 from truely_tpu.ops.resize import (
     resize_area, resize_area_u8, crop_resize_area_mxu,
@@ -288,10 +291,11 @@ def _stage_crops(frames_chw, boxes, width, height, out_size, dtype,
 
     MXU bin-indicator matmuls (ops/resize.crop_resize_area_mxu) — bit-exact
     with the integral-image formulation but ~8x faster on TPU, where XLA
-    gathers run far below HBM bandwidth.  When ``frames_fused`` (prepped
-    planar int8 frames) is given, the fused Pallas kernel
-    (ops/crop_area_fused.py) computes the same result without the HBM
-    round-trip of the column-sum intermediate — also bit-exact.  With
+    gathers run far below HBM bandwidth.  When ``frames_fused`` (a
+    ``(version, prepped planar frames)`` pair) is given, the corresponding
+    fused Pallas kernel (v1 ops/crop_area_fused.py, v2 ops/crop_fused2.py)
+    computes the same result without the HBM round-trip of the column-sum
+    intermediate — also bit-exact.  With
     ``quant > 1`` (production bf16 paths) the boxes snap to a quant-px grid
     and the dots contract the block-mean frame: FLOPs / quant^2 on the
     step's top-2 device ops (ops/resize.crop_resize_area_mxu_quant)."""
@@ -300,8 +304,11 @@ def _stage_crops(frames_chw, boxes, width, height, out_size, dtype,
         return crop_resize_area_mxu_quant(
             frames_chw, bounds, out_size, quant=quant)
     if frames_fused is not None:
-        return crop_resize_area_fused(
-            frames_fused, bounds, out_size, src_hw=(height, width))
+        version, prepped = frames_fused
+        fused_fn = (
+            crop_resize_area_fused2 if version >= 2 else crop_resize_area_fused
+        )
+        return fused_fn(prepped, bounds, out_size, src_hw=(height, width))
     return crop_resize_area_mxu(frames_chw, bounds, out_size, dtype=dtype)
 
 
@@ -345,7 +352,9 @@ def detect_faces(
     # Pallas on CPU would be far slower than the XLA matmul path.
     frames_fused = None
     if cfg.use_fused_crops and jax.default_backend() == "tpu":
-        frames_fused = prep_frames_for_fused_crops(frames_chw)
+        version = int(cfg.use_fused_crops)
+        prep = prep_frames_fused2 if version >= 2 else prep_frames_for_fused_crops
+        frames_fused = (version, prep(frames_chw))
 
     # ---- Stage 2: R-Net on 24x24 crops -----------------------------------
     k2 = min(cfg.rnet_capacity, boxes.shape[1])
