@@ -1,7 +1,6 @@
 #!/usr/bin/env python3
 """Headline benchmark: sampled-frame throughput of the full device pipeline
-(MTCNN cascade + face crop + FaceNet embed + temporal fold) at 1080p on one
-chip.
+(MTCNN cascade + face crop + FaceNet embed + temporal fold) on one chip.
 
 North star (BASELINE.json): a 60 s 1080p30 video (1800 frames) analyzed in
 < 2 s wall-clock on one v5e chip => >= 900 frames/sec/chip; at the
@@ -9,6 +8,13 @@ reference's ~7 Hz sampling (every 4th frame at 30 fps) that is 225 sampled
 (fully processed) frames/sec.  We report *video* frames/sec/chip — sampled
 throughput x sample interval — so the number is directly comparable to the
 north star; vs_baseline = value / 900.
+
+A default run prints one JSON line per tracked config — the 360p and 720p
+production buckets, the EXACT parity chain at 1080p (`--exact-pyramid
+--crop-quant 1`: the operator chain every decision-parity proof pins, see
+tests/test_full_pipeline_oracle.py), and LAST the production-default 1080p
+headline (the line the driver parses).  Passing any of --res/--batch/
+--crop-quant/--exact-pyramid runs that single config instead.
 
 Methodology note (sync-verified): on this rig the TPU is remote-attached
 (axon tunnel) and ``jax.block_until_ready`` does NOT synchronize non-scalar
@@ -25,8 +31,6 @@ chain at two iteration counts and report the SLOPE:
 Validated against a known quantity: the same pattern times 8192^3 bf16
 matmuls at 5.9 ms/step = 186 TFLOPS on a ~197 TFLOPS v5e (94% of peak,
 physically sane and reproducible across trials).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -54,38 +58,20 @@ def _chain_time(det, frames, n_steps, batch):
     return time.perf_counter() - t0
 
 
-def main():
+def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi):
+    """Video frames/sec/chip for one config (slope-timed, best of 3)."""
     import jax
     import jax.numpy as jnp
 
-    from truely_tpu.config import DetectorConfig
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
     from truely_tpu.pipeline.detector import Detector
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu:
-        # batch 128 is the measured throughput knee at 1080p (b64 536 /
-        # b96 628 / b128 639 sampled fps): XLA lays activations out with
-        # batch in the 128-lane minor dim, so b64 pads half the lanes.
-        height, width, batch = 1080, 1920, 128
-        n_lo, n_hi = 2, 7
-        if "--batch" in sys.argv:
-            batch = int(sys.argv[sys.argv.index("--batch") + 1])
-        if "--res" in sys.argv:  # e.g. --res 720x1280 (default 1080x1920)
-            height, width = map(
-                int, sys.argv[sys.argv.index("--res") + 1].split("x")
-            )
-    else:  # keep the script runnable anywhere (CI, dev boxes)
-        height, width, batch = 216, 384, 4
-        n_lo, n_hi = 1, 3
-
     fps_video = 30
-    quant = 4
-    if "--crop-quant" in sys.argv:  # stage-crop box grid (1 = exact)
-        quant = int(sys.argv[sys.argv.index("--crop-quant") + 1])
-    from truely_tpu.config import MTCNNConfig
-
     config = DetectorConfig(
-        frame_batch=batch, mtcnn=MTCNNConfig(stage_crop_quant=quant)
+        frame_batch=batch,
+        mtcnn=MTCNNConfig(
+            stage_crop_quant=quant, pyramid_cascade=not exact_pyramid
+        ),
     )
     det = Detector(config)
     interval = config.sample_interval(fps_video)  # 4 at 30 fps
@@ -104,27 +90,73 @@ def main():
          - _chain_time(det, frames, n_lo, batch)) / (n_hi - n_lo)
         for _ in range(3)
     )
+    return batch / per_step * interval
 
-    sampled_fps = batch / per_step
-    video_fps = sampled_fps * interval
-    baseline = 900.0  # north-star frames/sec/chip, defined AT 1080p
-    # The 900 fps target is a 1080p number; normalizing other buckets by
-    # it would be apples-to-oranges, so --res runs report null.
-    vs = (
-        round(video_fps / baseline, 4)
-        if (height, width) == (1080, 1920) or not on_tpu
-        else None
-    )
+
+def _emit(name, video_fps, *, baseline=None):
+    vs = round(video_fps / baseline, 4) if baseline else None
     print(
         json.dumps(
             {
-                "metric": f"video_frames_per_sec_per_chip_{height}p",
+                "metric": f"video_frames_per_sec_per_chip_{name}",
                 "value": round(video_fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": vs,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    baseline = 900.0  # north-star frames/sec/chip, defined AT 1080p
+
+    explicit = any(
+        f in sys.argv for f in ("--res", "--batch", "--crop-quant",
+                                "--exact-pyramid")
+    )
+    if not on_tpu:  # keep the script runnable anywhere (CI, dev boxes)
+        fps = _measure(216, 384, 4, 4, False, 1, 3)
+        _emit("216p", fps, baseline=baseline)
+        return 0
+
+    # batch 128 is the measured throughput knee at 1080p (b64 536 /
+    # b96 628 / b128 639 sampled fps): XLA lays activations out with
+    # batch in the 128-lane minor dim, so b64 pads half the lanes.
+    if explicit:
+        height, width, batch, quant = 1080, 1920, 128, 4
+        if "--batch" in sys.argv:
+            batch = int(sys.argv[sys.argv.index("--batch") + 1])
+        if "--res" in sys.argv:  # e.g. --res 720x1280
+            height, width = map(
+                int, sys.argv[sys.argv.index("--res") + 1].split("x")
+            )
+        if "--crop-quant" in sys.argv:  # stage-crop box grid (1 = exact)
+            quant = int(sys.argv[sys.argv.index("--crop-quant") + 1])
+        exact = "--exact-pyramid" in sys.argv
+        fps = _measure(height, width, batch, quant, exact, 2, 7)
+        name = f"{height}p" + ("_exact" if (exact and quant == 1) else "")
+        _emit(name, fps, baseline=baseline if height == 1080 else None)
+        return 0
+
+    # Default sweep: secondary lines first, the production-1080p headline
+    # LAST (the driver parses the final JSON line).  The 900 fps target is
+    # a 1080p number, so only 1080p lines get vs_baseline.
+    for name, h, w, quant, exact in (
+        ("360p", 360, 640, 4, False),
+        ("720p", 720, 1280, 4, False),
+        ("1080p_exact", 1080, 1920, 1, True),
+    ):
+        try:
+            fps = _measure(h, w, 128, quant, exact, 2, 7)
+            _emit(name, fps, baseline=baseline if h == 1080 else None)
+        except Exception as e:  # a secondary config must not eat the headline
+            print(f"bench config {name} failed: {e}", file=sys.stderr)
+    fps = _measure(1080, 1920, 128, 4, False, 2, 7)
+    _emit("1080p", fps, baseline=baseline)
     return 0
 
 
