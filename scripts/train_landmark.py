@@ -29,21 +29,47 @@ import jax.numpy as jnp
 
 def synthetic_batch(rng, batch, size=80):
     """Random affine placements of a canonical 68-point template drawn as
-    bright dots on noise — a learnable toy task."""
-    template = np.stack(
-        [0.5 + 0.35 * np.cos(np.linspace(0, 2 * np.pi, 68)),
-         0.5 + 0.35 * np.sin(np.linspace(0, 2 * np.pi, 68))], axis=1
-    )
-    crops = rng.integers(0, 80, (batch, size, size, 3)).astype(np.uint8)
-    lmks = np.zeros((batch, 68, 2), np.float32)
-    for i in range(batch):
-        scale = rng.uniform(0.6, 1.0)
-        off = rng.uniform(0.0, 1.0 - scale, 2)
-        pts = template * scale + off
-        lmks[i] = pts
-        px = np.clip((pts * size).astype(int), 0, size - 1)
-        crops[i, px[:, 1], px[:, 0]] = 255
-    return crops.astype(np.float32) / 255.0, lmks
+    bright dots on noise — a learnable toy task (now lives in the package
+    so the quality gate shares it: models/landmark68.py)."""
+    from truely_tpu.models.landmark68 import synthetic_landmark_batch
+
+    return synthetic_landmark_batch(rng, batch, size)
+
+
+def train_landmark_only(steps, batch, lr, seed, data_batches=None):
+    """Train JUST the landmark head (no embedder) with an MSE loss —
+    used to produce the committed synthetic-quality checkpoint that
+    tests/test_landmark_quality.py pins.  Returns trained params."""
+    import optax
+
+    from truely_tpu.models import init_landmark68
+    from truely_tpu.models.landmark68 import apply_landmark68
+
+    rng = np.random.default_rng(seed)
+    params = init_landmark68(jax.random.PRNGKey(2))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, crops, lmks):
+        return jnp.mean((apply_landmark68(p, crops) - lmks) ** 2)
+
+    @jax.jit
+    def step_fn(p, s, crops, lmks):
+        loss, g = jax.value_and_grad(loss_fn)(p, crops, lmks)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    for step in range(steps):
+        if data_batches is not None:
+            crops, lmks = data_batches()
+        else:
+            crops, lmks = synthetic_batch(rng, batch)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(crops), jnp.asarray(lmks)
+        )
+        if step % 50 == 0 or step == steps - 1:
+            print(f"step {step}: mse={float(loss):.5f}", flush=True)
+    return params
 
 
 def main():
@@ -55,7 +81,23 @@ def main():
     ap.add_argument("--ckpt", help="checkpoint directory")
     ap.add_argument("--mesh", help="mesh shape like 4x2 (data x model)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--landmark-only", action="store_true",
+                    help="train just the landmark head (MSE loss, no "
+                         "embedder) — fast path for the synthetic quality "
+                         "checkpoint")
+    ap.add_argument("--save-params",
+                    help="with --landmark-only: save the trained landmark "
+                         "params (.npz via models.weights.save_params) here")
     args = ap.parse_args()
+
+    if args.landmark_only:
+        from truely_tpu.models.weights import save_params
+
+        params = train_landmark_only(args.steps, args.batch, args.lr, args.seed)
+        if args.save_params:
+            save_params(args.save_params, params)
+            print(f"saved landmark params to {args.save_params}")
+        return
 
     from truely_tpu.models import init_inception_resnet_v1, init_landmark68
     from truely_tpu.parallel.checkpoint import (

@@ -8,6 +8,10 @@ import os
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "veo3_360p.mp4")
 
 
+def fixture_path(name):
+    return os.path.join(os.path.dirname(__file__), "fixtures", name)
+
+
 def bundled_clip_path():
     if os.path.isfile(FIXTURE):
         return FIXTURE

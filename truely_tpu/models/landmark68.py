@@ -41,6 +41,37 @@ def init_landmark68(key) -> dict:
     return params
 
 
+def synthetic_landmark_batch(rng, batch: int, size: int = 80):
+    """The synthetic landmark task: random affine placements of a canonical
+    68-point template drawn as bright dots on noise.
+
+    This is the stand-in quality benchmark while no real landmark dataset
+    is available offline (the reference's dlib asset is dead weight it
+    never loads, SURVEY.md §2.1 #16): a model that localizes the dots has
+    learned coordinate regression end to end, which is the architecture
+    claim the synthetic gate pins (tests/test_landmark_quality.py).  Real
+    accuracy numbers (NME on 300-W/WFLW) still require real data.
+
+    Returns (crops (B, S, S, 3) float32 in [0,1], landmarks (B, 68, 2) in
+    [0, 1] crop coordinates)."""
+    import numpy as np
+
+    template = np.stack(
+        [0.5 + 0.35 * np.cos(np.linspace(0, 2 * np.pi, 68)),
+         0.5 + 0.35 * np.sin(np.linspace(0, 2 * np.pi, 68))], axis=1
+    )
+    crops = rng.integers(0, 80, (batch, size, size, 3)).astype(np.uint8)
+    lmks = np.zeros((batch, 68, 2), np.float32)
+    for i in range(batch):
+        scale = rng.uniform(0.6, 1.0)
+        off = rng.uniform(0.0, 1.0 - scale, 2)
+        pts = template * scale + off
+        lmks[i] = pts
+        px = np.clip((pts * size).astype(int), 0, size - 1)
+        crops[i, px[:, 1], px[:, 0]] = 255
+    return crops.astype(np.float32) / 255.0, lmks
+
+
 def apply_landmark68(
     params: dict,
     x: jnp.ndarray,
