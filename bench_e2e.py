@@ -72,8 +72,9 @@ def main():
     from truely_tpu.pipeline.detector import Detector
 
     annotate = "--annotate" in sys.argv
+    no_yuv = "--no-yuv" in sys.argv
     clip = make_clip()
-    det = Detector(DetectorConfig(frame_batch=64))
+    det = Detector(DetectorConfig(frame_batch=64, yuv_ingest=not no_yuv))
     det.warmup(H, W)
 
     out = os.path.join(CACHE_DIR, "annotated.mp4") if annotate else None
@@ -81,6 +82,11 @@ def main():
     wall, res = run_once(det, clip, out)
 
     n_frames = FPS * SECONDS
+    sampled = res.total_processed
+    # bytes/px actually uploaded: packed I420 is 1.5, BGR is 3 (the YUV
+    # path engages only without --annotate; see DetectorConfig.yuv_ingest)
+    yuv_used = not no_yuv and not annotate
+    upload_mb = sampled * H * W * (1.5 if yuv_used else 3) / 1e6
     result = {
         "metric": "e2e_wall_seconds_60s_1080p30" + ("_annotated" if annotate else ""),
         "value": round(wall, 3),
@@ -88,6 +94,8 @@ def main():
         "vs_baseline": round(2.0 / wall, 4),  # north star: < 2 s
         "video_fps": round(n_frames / wall, 1),
         "fake_score": res.fake_score,
+        "yuv_ingest": yuv_used,
+        "upload_mb": round(upload_mb, 1),
         "timings": {k: round(v, 3) for k, v in res.timings.items()},
     }
     print(json.dumps(result))

@@ -32,6 +32,7 @@ def cmd_analyze(args) -> int:
         reference_compat=not args.corrected,
         use_pallas_crop=args.pallas_crop,
         multi_face=args.multi_face,
+        yuv_ingest=not args.no_yuv,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -169,6 +170,10 @@ def main(argv=None) -> int:
     p.add_argument("--corrected", action="store_true",
                    help="RGB + corrected semantics instead of reference compat")
     p.add_argument("--compact", action="store_true", help="one-line JSON")
+    p.add_argument("--no-yuv", action="store_true",
+                   help="disable native-YUV ingestion (it engages only "
+                        "without -o anyway; results are bit-identical "
+                        "either way)")
     p.add_argument("--pallas-crop", action="store_true",
                    help="use the Pallas face-crop kernel (TPU only; see "
                         "PERFORMANCE.md finding 4 for when it wins)")

@@ -33,17 +33,71 @@ class VideoMeta:
 class Segment:
     """A contiguous chunk of the video covering one device batch."""
 
-    frames: List[np.ndarray]        # raw frames, in order (BGR HWC uint8)
-    frame_indices: List[int]        # global indices of ``frames``
-    sampled: np.ndarray             # (B, H, W, 3) uint8, padded
+    frames: List[np.ndarray]        # raw frames, in order (BGR HWC uint8);
+                                    # EMPTY in YUV mode (no host pixels)
+    frame_indices: List[int]        # global indices of the segment's frames
+    sampled: np.ndarray             # (B, H, W, 3) uint8 padded, or packed
+                                    # I420 (B, H*3//2, W) in YUV mode
     sampled_indices: List[int]      # global indices of valid sampled rows
     n_valid: int                    # number of valid rows in ``sampled``
+    n_frames: int = 0               # total frames covered (== len(frames)
+                                    # in BGR mode)
+
+
+# swscale tag values for which the on-device conversion (ops/yuv.py) is
+# proven exact: untagged or BT.601-family colorspace, limited ("tv") or
+# untagged range.  Anything else (bt709 tags, full range, >8-bit) falls
+# back to cv2 decode — conservative, since cv2's own conversion ignores
+# the colorspace tag, but bit-exactness beats the upload win.
+_YUV_OK_SPACES = frozenset({"unknown", "bt470bg", "smpte170m"})
+_YUV_OK_RANGES = frozenset({"unknown", "tv"})
+
+
+def _probe_yuv(path: str, meta: "VideoMeta"):
+    """Open a native yuv420p decode of ``path`` if the extension is built
+    and the stream is eligible for the exact on-device conversion.
+    Returns (videodec_module, handle) or None."""
+    try:
+        from truely_tpu.media import videodec
+    except ImportError:
+        return None
+    try:
+        hnd, w, h, _fn, _fd, _nb = videodec.open(path)
+    except Exception:
+        return None
+    try:
+        space, rng = videodec.colorinfo(hnd)
+        if (
+            videodec.pixfmt(hnd) == "yuv420p"
+            and w == meta.width
+            and h == meta.height
+            and w % 2 == 0
+            and h % 2 == 0
+            and space in _YUV_OK_SPACES
+            and rng in _YUV_OK_RANGES
+        ):
+            return videodec, hnd
+        videodec.close(hnd)
+        return None
+    except Exception:
+        videodec.close(hnd)
+        return None
 
 
 class VideoReader:
-    """Iterates decode segments with background prefetch."""
+    """Iterates decode segments with background prefetch.
 
-    def __init__(self, path: str, *, rgb: bool = False, prefetch: int = 2):
+    ``yuv=True`` requests native-YUV segments: frames decode through the
+    first-party videodec extension straight into packed I420 staging
+    buffers (half the bytes of BGR, no host colorspace conversion), and
+    ``Segment.frames`` stays empty — callers that need host pixels (the
+    annotated re-encode path) must not request it.  Falls back to the cv2
+    BGR path (``yuv_active == False``) when the extension is missing or
+    the stream is ineligible for the exact on-device conversion.
+    """
+
+    def __init__(self, path: str, *, rgb: bool = False, prefetch: int = 2,
+                 yuv: bool = False):
         self._cap = cv2.VideoCapture(path)
         if not self._cap.isOpened():
             raise IOError(f"could not open video: {path}")
@@ -64,6 +118,8 @@ class VideoReader:
                 f"invalid video properties: width={self.meta.width} "
                 f"height={self.meta.height} fps={self.meta.fps}"
             )
+        self._vd = _probe_yuv(path, self.meta) if yuv else None
+        self.yuv_active = self._vd is not None
 
     def close(self) -> None:
         # Stop any in-flight prefetch producer BEFORE releasing the
@@ -84,10 +140,14 @@ class VideoReader:
 
                 logging.getLogger(__name__).warning(
                     "decode producer did not exit within 10s; leaking the "
-                    "cv2 capture rather than releasing under a live reader"
+                    "capture rather than releasing under a live reader"
                 )
                 return
         self._cap.release()
+        if self._vd is not None:
+            vd, hnd = self._vd
+            self._vd = None
+            vd.close(hnd)
 
     def __enter__(self):
         return self
@@ -135,6 +195,57 @@ class VideoReader:
                     continue
             return False
 
+        def yuv_producer():
+            vd, hnd = self._vd
+            h, w = self.meta.height, self.meta.width
+            rows = h * 3 // 2
+            try:
+                scratch = np.empty((rows, w), np.uint8)  # unsampled frames
+                stack = np.zeros((batch, rows, w), np.uint8)
+                cur_idx: List[int] = []
+                sampled_idx: List[int] = []
+
+                def flush() -> bool:
+                    nonlocal stack
+                    if not cur_idx:
+                        return True
+                    ok = put(
+                        Segment(
+                            frames=[],
+                            frame_indices=list(cur_idx),
+                            sampled=stack,
+                            sampled_indices=list(sampled_idx),
+                            n_valid=len(sampled_idx),
+                            n_frames=len(cur_idx),
+                        )
+                    )
+                    # the flushed Segment owns the buffer; stage a fresh one
+                    stack = np.zeros((batch, rows, w), np.uint8)
+                    cur_idx.clear()
+                    sampled_idx.clear()
+                    return ok
+
+                idx = 0
+                while not stop.is_set():
+                    if idx % sample_interval == 0:
+                        # decode straight into the staging row: zero-copy
+                        if not vd.read(hnd, stack[len(sampled_idx)]):
+                            break
+                        sampled_idx.append(idx)
+                    else:
+                        if not vd.read(hnd, scratch):
+                            break
+                    cur_idx.append(idx)
+                    idx += 1
+                    if len(sampled_idx) == batch:
+                        if not flush():
+                            return
+                flush()
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                put(None)
+
         def producer():
             try:
                 h, w = self.meta.height, self.meta.width
@@ -161,6 +272,7 @@ class VideoReader:
                             sampled=stack,
                             sampled_indices=list(sampled_idx),
                             n_valid=n_valid,
+                            n_frames=len(cur_frames),
                         )
                     )
                     cur_frames.clear()
@@ -186,7 +298,9 @@ class VideoReader:
             finally:
                 put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(
+            target=yuv_producer if self.yuv_active else producer, daemon=True
+        )
         self._active_stop, self._active_thread = stop, t
         t.start()
         try:

@@ -131,6 +131,26 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
     )
 
 
+def _frame_step_yuv(params: DetectorParams, packed: jax.Array,
+                    cfg: DetectorConfig, compute_dtype) -> FrameOutputs:
+    """The frame step on packed I420 input (B, H*3//2, W) uint8: the exact
+    cv2/swscale colorspace conversion (ops/yuv.py) runs on-device as the
+    first fused stage, so outputs are bit-identical to the BGR-upload path
+    while the host→device transfer moves half the bytes."""
+    from truely_tpu.ops.yuv import i420_to_bgr
+
+    frames = i420_to_bgr(packed, rgb=not cfg.reference_compat)
+    return _frame_step(params, frames, cfg, compute_dtype)
+
+
+def _multiface_step_yuv(params: DetectorParams, packed: jax.Array,
+                        cfg: DetectorConfig, compute_dtype):
+    from truely_tpu.ops.yuv import i420_to_bgr
+
+    frames = i420_to_bgr(packed, rgb=not cfg.reference_compat)
+    return _multiface_step(params, frames, cfg, compute_dtype)
+
+
 def _multiface_step(params: DetectorParams, frames: jax.Array,
                     cfg: DetectorConfig, compute_dtype):
     """Embed the top-``max_tracks`` faces per frame (BASELINE config 4).
@@ -322,6 +342,24 @@ class Detector:
         )
         jax.block_until_ready((out, res, score))
 
+    def _ensure_yuv_step(self):
+        """Lazily-jitted packed-I420 frame step (compiled only on paths
+        that actually ingest YUV, so BGR-only runs never pay the extra
+        bucket compile)."""
+        if not hasattr(self, "_step_yuv"):
+            self._step_yuv = jax.jit(
+                partial(
+                    _frame_step_yuv, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    else {"in_shardings": (None, self._frames_sharding)}
+                ),
+            )
+        return self._step_yuv
+
     def sharded_step(self, mesh, data_axis: str = "data"):
         """Cached (step_fn, params, frames_sharding) for DP execution over
         an explicit mesh — params replicated once per (mesh, axis), the
@@ -362,7 +400,13 @@ class Detector:
         t_start = time.perf_counter()
         timings = {"decode": 0.0, "device": 0.0, "temporal": 0.0, "encode": 0.0}
 
-        with VideoReader(input_path, rgb=not cfg.reference_compat) as reader:
+        # Native-YUV ingestion (half the H2D bytes, exact on-device
+        # conversion) engages only when no annotated output is written:
+        # the re-encode path needs host BGR pixels anyway.
+        use_yuv = cfg.yuv_ingest and output_path is None
+        with VideoReader(
+            input_path, rgb=not cfg.reference_compat, yuv=use_yuv
+        ) as reader:
             meta = reader.meta
             interval = cfg.sample_interval(meta.fps)
             writer = (
@@ -393,11 +437,12 @@ class Detector:
 
                 flagged_total += int(np.sum(flagged[: seg.n_valid]))
                 total_processed += seg.n_valid
-                frame_count += len(seg.frames)
+                frame_count += seg.n_frames
 
                 t2 = time.perf_counter()
                 ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
-                for gi, frame in zip(seg.frame_indices, seg.frames):
+                for j, gi in enumerate(seg.frame_indices):
+                    frame = seg.frames[j] if seg.frames else None
                     k = ann.get(gi)
                     if k is not None:
                         records.append(
@@ -435,6 +480,9 @@ class Detector:
                         )
                 timings["encode"] += time.perf_counter() - t2
 
+            step = (
+                self._ensure_yuv_step() if reader.yuv_active else self._step
+            )
             try:
                 # One-deep software pipeline: the device (and the H2D upload)
                 # works on segment N while the host annotates/encodes N-1.
@@ -445,7 +493,7 @@ class Detector:
                     sharding=self._frames_sharding,
                 ):
                     timings["decode"] += time.perf_counter() - t0
-                    out = self._step(self.params, dev_frames)
+                    out = step(self.params, dev_frames)
                     res = self._temporal(
                         out.embedding, out.has_face, jnp.int32(seg.n_valid), state
                     )
@@ -576,6 +624,22 @@ class Detector:
                 )
             )
 
+    def _ensure_mstep_yuv(self):
+        self._ensure_track_jits()
+        if not hasattr(self, "_mstep_yuv"):
+            self._mstep_yuv = jax.jit(
+                partial(
+                    _multiface_step_yuv, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    else {"in_shardings": (None, self._frames_sharding)}
+                ),
+            )
+        return self._mstep_yuv
+
     def analyze_frames_tracks(self, frames: np.ndarray, fps: int):
         """Multi-face analysis of an in-memory frame array (BASELINE
         config 4): per-track consistency scoring; the aggregate fake score
@@ -621,7 +685,10 @@ class Detector:
 
         cfg = self.config
         self._ensure_track_jits()
-        with VideoReader(input_path, rgb=not cfg.reference_compat) as reader:
+        use_yuv = cfg.yuv_ingest and output_path is None
+        with VideoReader(
+            input_path, rgb=not cfg.reference_compat, yuv=use_yuv
+        ) as reader:
             meta = reader.meta
             interval = cfg.sample_interval(meta.fps)
             writer = (
@@ -631,16 +698,19 @@ class Detector:
             )
             state = init_track_state(cfg.max_tracks, 512)
             frame_count = 0
+            mstep = (
+                self._ensure_mstep_yuv() if reader.yuv_active else self._mstep
+            )
             try:
                 for seg, dev_frames in _upload_segments(
                     reader.segments(interval, cfg.frame_batch),
                     sharding=self._frames_sharding,
                 ):
-                    boxes, valid, emb = self._mstep(self.params, dev_frames)
+                    boxes, valid, emb = mstep(self.params, dev_frames)
                     state, outs = self._track_fold(
                         state, boxes, valid, emb, jnp.int32(seg.n_valid)
                     )
-                    frame_count += len(seg.frames)
+                    frame_count += seg.n_frames
                     if writer is None:
                         continue
                     t_boxes, t_upd, t_flag = jax.device_get(
