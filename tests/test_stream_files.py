@@ -1,0 +1,116 @@
+"""The streaming product surface (BASELINE config 5, VERDICT r2 task 3):
+``stream_videos`` / ``truely_tpu stream`` drive N concurrent files through
+shared device batches and must reproduce solo-analysis results exactly."""
+
+import json
+
+import numpy as np
+import cv2
+import pytest
+
+from truely_tpu.cli import main
+from truely_tpu.config import DetectorConfig, MTCNNConfig
+from truely_tpu.pipeline.detector import Detector
+from truely_tpu.pipeline.stream_files import stream_videos
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = DetectorConfig(
+        frame_batch=8,
+        mtcnn=MTCNNConfig(
+            pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+        compute_dtype="float32",
+    )
+    return Detector(cfg)
+
+
+def synth_clip(path, seed, n=10, w=96, h=64, fps=10):
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        writer.write(cv2.blur(
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), (9, 9)))
+    writer.release()
+    return path
+
+
+def test_stream_matches_solo_analysis(tmp_path, detector):
+    """Per-stream events and scores == analyzing each video alone."""
+    paths = [synth_clip(str(tmp_path / f"v{i}.mp4"), seed=i) for i in range(3)]
+    events = []
+    summaries = stream_videos(
+        detector, paths, frames_per_stream=2, on_event=events.append
+    )
+    solos = [detector.analyze_video(p) for p in paths]
+    for s, solo in zip(summaries, solos):
+        assert s.fake_score == solo.fake_score
+        assert s.frame_count == solo.frame_count
+        assert s.processed == solo.total_processed
+        assert s.flagged_count == solo.flagged_count
+        assert s.suspicious_frames == solo.suspicious_frames
+        assert s.wall_s > 0 and s.sampled_fps > 0
+    # every sampled frame produced exactly one event
+    assert len(events) == sum(s.processed for s in summaries)
+    # lag stats populated (every event had a matching push)
+    assert all(s.max_lag_s >= s.mean_lag_s >= 0 for s in summaries)
+
+
+def test_stream_yuv_and_bgr_agree(tmp_path, detector):
+    paths = [synth_clip(str(tmp_path / f"y{i}.mp4"), seed=10 + i)
+             for i in range(2)]
+    a = stream_videos(detector, paths, frames_per_stream=2, yuv=True)
+    b = stream_videos(detector, paths, frames_per_stream=2, yuv=False)
+    for sa, sb in zip(a, b):
+        assert sa.fake_score == sb.fake_score
+        assert sa.suspicious_frames == sb.suspicious_frames
+        assert sa.processed == sb.processed
+    try:
+        from truely_tpu.media import videodec  # noqa: F401
+
+        assert a[0].yuv_ingest  # extension built -> the fast path engaged
+    except ImportError:
+        assert not a[0].yuv_ingest
+
+
+def test_stream_realtime_paces_and_completes(tmp_path, detector):
+    paths = [synth_clip(str(tmp_path / "rt.mp4"), seed=3, n=6, fps=30)]
+    summaries = stream_videos(detector, paths, realtime=True)
+    assert summaries[0].frame_count == 6
+    assert summaries[0].processed == 2  # fps 30 -> interval 4 -> frames 0,4
+    # paced at 30 fps, 6 frames take >= ~0.16 s
+    assert summaries[0].wall_s >= 0.1
+
+
+def test_stream_rejects_mixed_resolutions(tmp_path, detector):
+    a = synth_clip(str(tmp_path / "a.mp4"), seed=1, w=96, h=64)
+    b = synth_clip(str(tmp_path / "b.mp4"), seed=2, w=64, h=48)
+    with pytest.raises(ValueError, match="equal resolutions"):
+        stream_videos(detector, [a, b])
+
+
+def test_stream_cli(tmp_path, capsys):
+    paths = [synth_clip(str(tmp_path / f"c{i}.mp4"), seed=20 + i, n=8)
+             for i in range(2)]
+    rc = main(["stream", *paths, "--batch", "4", "--events", "--compact"])
+    assert rc == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out_lines[-1])
+    assert len(payload) == 2
+    for entry in payload:
+        assert entry["frameCount"] == 8
+        assert 0 <= entry["fakeScore"] <= 100
+        assert "sampledFps" in entry and "meanLagMs" in entry
+    # --events emitted one JSONL line per sampled frame before the summary
+    n_events = sum(e["processedFrames"] for e in payload)
+    event_lines = [json.loads(x) for x in out_lines[:-1]]
+    assert len(event_lines) == n_events
+    assert {e["stream"] for e in event_lines} == {0, 1}
+
+
+def test_stream_cli_unreadable_input(capsys):
+    rc = main(["stream", "/nonexistent/clip.mp4"])
+    assert rc == 1
+    assert "error: could not open video" in capsys.readouterr().err

@@ -105,6 +105,90 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Live multi-stream analysis (BASELINE config 5): N video files as
+    concurrent streams through one shared device batch, per-stream live
+    events on stderr-free stdout (JSONL with --events) and end-of-stream
+    summaries with sampled-fps and lag stats."""
+    import os
+
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+    from truely_tpu.pipeline.stream_files import stream_videos
+
+    for p in args.videos:
+        if not os.path.isfile(p):
+            print(f"error: could not open video: {p}", file=sys.stderr)
+            return 1
+    config = DetectorConfig(
+        frame_batch=args.batch,
+        reference_compat=not args.corrected,
+        yuv_ingest=not args.no_yuv,
+        mtcnn=MTCNNConfig(
+            pyramid_cascade=not args.exact_pyramid,
+            stage_crop_quant=args.crop_quant,
+        ),
+    )
+    mesh = None
+    if args.dp > 1:
+        import jax
+
+        from truely_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < args.dp:
+            print(
+                f"error: --dp {args.dp} needs {args.dp} devices, have "
+                f"{len(devices)}",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh((args.dp, 1), ("data", "model"),
+                         devices=devices[: args.dp])
+    detector = Detector(config, weights_dir=args.weights, mesh=mesh)
+
+    def emit(e):
+        print(json.dumps({
+            "stream": e.stream_id,
+            "frame": e.frame_index,
+            "hasFace": e.has_face,
+            "flagged": e.flagged,
+            "similarity": round(e.similarity, 6),
+            "counter": e.counter,
+        }), flush=True)
+
+    try:
+        summaries = stream_videos(
+            detector, args.videos,
+            frames_per_stream=args.frames_per_stream,
+            mesh=mesh,
+            realtime=args.realtime,
+            on_event=emit if args.events else None,
+        )
+    except (IOError, OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    payload = [
+        {
+            "path": s.path,
+            "fakeScore": s.fake_score,
+            "frameCount": s.frame_count,
+            "fps": s.fps,
+            "processedFrames": s.processed,
+            "flaggedFrames": s.flagged_count,
+            "suspiciousFrames": s.suspicious_frames,
+            "sampledFps": round(s.sampled_fps, 2),
+            "meanLagMs": round(s.mean_lag_s * 1000, 1),
+            "maxLagMs": round(s.max_lag_s * 1000, 1),
+            "wallSeconds": round(s.wall_s, 3),
+            "yuvIngest": s.yuv_ingest,
+        }
+        for s in summaries
+    ]
+    print(json.dumps(payload, indent=None if args.compact else 2))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from truely_tpu.config import DetectorConfig, MTCNNConfig, ServerConfig
     from truely_tpu.serve import app as serve_app
@@ -194,6 +278,37 @@ def main(argv=None) -> int:
                    help="shard each frame batch over the first N devices "
                         "(data-parallel mesh); batch must divide by N")
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser(
+        "stream",
+        help="analyze N video files as concurrent live streams "
+             "(shared device batches; per-stream events + lag stats)",
+    )
+    p.add_argument("videos", nargs="+", help="same-resolution video files")
+    p.add_argument("--batch", type=int, default=32,
+                   help="total device frame batch shared by all streams")
+    p.add_argument("--frames-per-stream", type=int, default=None,
+                   help="sampled frames per stream per step (default: "
+                        "batch // n_streams)")
+    p.add_argument("--weights", help="directory of converted .npz weights")
+    p.add_argument("--corrected", action="store_true",
+                   help="RGB + corrected semantics instead of reference compat")
+    p.add_argument("--events", action="store_true",
+                   help="print one JSON line per sampled frame as its "
+                        "device step completes")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace each stream at its fps (live-feed simulation; "
+                        "lag stats then reflect steady-state latency)")
+    p.add_argument("--no-yuv", action="store_true",
+                   help="disable native-YUV ingestion")
+    p.add_argument("--compact", action="store_true", help="one-line JSON")
+    p.add_argument("--exact-pyramid", action="store_true",
+                   help="exact full-frame pyramid resample (see analyze)")
+    p.add_argument("--crop-quant", type=int, default=4,
+                   help="stage-crop box grid (1 = exact; see analyze)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard the shared batch over the first N devices")
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("serve", help="start the API server")
     p.add_argument("--host", default="0.0.0.0")

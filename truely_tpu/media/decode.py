@@ -172,6 +172,32 @@ class VideoReader:
             yield idx, frame
             idx += 1
 
+    def yuv_frames(
+        self, sample_interval: int = 1
+    ) -> Iterator[Tuple[int, Optional[np.ndarray]]]:
+        """Iterate (frame_index, packed_i420) pairs to EOF (YUV mode only;
+        packed is (H*3//2, W) uint8).  Frames whose index is not a multiple
+        of ``sample_interval`` are decoded into a reused scratch buffer and
+        yielded as (index, None) — the caller keeps an honest frame count
+        without paying an allocation per discarded frame."""
+        if not self.yuv_active:
+            raise RuntimeError("yuv_frames() requires yuv_active")
+        vd, hnd = self._vd
+        rows, w = self.meta.height * 3 // 2, self.meta.width
+        scratch = np.empty((rows, w), np.uint8)
+        idx = 0
+        while True:
+            if idx % sample_interval == 0:
+                buf = np.empty((rows, w), np.uint8)
+                if not vd.read(hnd, buf):
+                    return
+                yield idx, buf
+            else:
+                if not vd.read(hnd, scratch):
+                    return
+                yield idx, None
+            idx += 1
+
     def segments(
         self, sample_interval: int, batch: int
     ) -> Iterator[Segment]:

@@ -360,25 +360,34 @@ class Detector:
             )
         return self._step_yuv
 
-    def sharded_step(self, mesh, data_axis: str = "data"):
+    def sharded_step(self, mesh, data_axis: str = "data", yuv: bool = False):
         """Cached (step_fn, params, frames_sharding) for DP execution over
         an explicit mesh — params replicated once per (mesh, axis), the
         step jitted once (re-jitting per caller cost a full retrace and a
-        ~100 MB weight re-upload per StreamScheduler construction)."""
+        ~100 MB weight re-upload per StreamScheduler construction).
+        ``yuv=True`` returns the packed-I420 variant of the step."""
         # Equality, not identity: an equal-but-rebuilt Mesh (same devices,
         # same axes — e.g. two make_mesh calls) must hit the pre-jitted
         # step, not re-trace a bit-identical graph.
         if mesh == self.mesh and data_axis == self._data_axis:
-            return self._step, self.params, self._frames_sharding
-        key = (mesh, data_axis)
+            step = self._ensure_yuv_step() if yuv else self._step
+            return step, self.params, self._frames_sharding
+        key = (mesh, data_axis, yuv)
         if key not in self._sharded_cache:
             from truely_tpu.parallel.sharding import (
                 dp_spec, replicate, shard_frame_step,
             )
 
+            # one replicated params copy per (mesh, axis), shared by the
+            # BGR and YUV step variants
+            pkey = (mesh, data_axis)
+            if pkey not in self._sharded_cache:
+                self._sharded_cache[pkey] = replicate(mesh, self.params)
             self._sharded_cache[key] = (
-                shard_frame_step(mesh, self.config, data_axis=data_axis),
-                replicate(mesh, self.params),
+                shard_frame_step(
+                    mesh, self.config, data_axis=data_axis, yuv=yuv
+                ),
+                self._sharded_cache[pkey],
                 dp_spec(mesh, data_axis),
             )
         return self._sharded_cache[key]

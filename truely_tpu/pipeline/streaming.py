@@ -66,10 +66,17 @@ class StreamScheduler:
         fps: int = 60,
         mesh=None,
         data_axis: str = "data",
+        yuv: bool = False,
     ):
+        """``yuv=True``: pushed frames are packed I420 pictures
+        ((H*3//2, W) uint8, e.g. from ``VideoReader.yuv_frames``) instead
+        of HWC BGR/RGB; the exact on-device conversion runs inside the
+        batch step, halving the per-step upload.  Events/scores are
+        bit-identical to BGR feeding (tests/test_yuv.py)."""
         self.detector = detector
         self.config: DetectorConfig = detector.config
         self.n_streams = n_streams
+        self.yuv = yuv
         self.fps = fps
         self.sample_interval = self.config.sample_interval(fps)
         f = frames_per_stream or max(1, self.config.frame_batch // n_streams)
@@ -92,7 +99,9 @@ class StreamScheduler:
             # Cached on the detector: re-jitting per scheduler cost a full
             # retrace + replicated weight re-upload per construction.
             (self._sharded_step, self._sharded_params,
-             self._frames_sharding) = detector.sharded_step(mesh, data_axis)
+             self._frames_sharding) = detector.sharded_step(
+                 mesh, data_axis, yuv=yuv
+             )
         self._queues: List[Deque[Tuple[int, np.ndarray]]] = [
             collections.deque() for _ in range(n_streams)
         ]
@@ -169,8 +178,7 @@ class StreamScheduler:
                 break
         if sample is None:
             return []
-        h, w = sample.shape[0], sample.shape[1]
-        batch = np.zeros((s, f, h, w, 3), np.uint8)
+        batch = np.zeros((s, f) + sample.shape, np.uint8)
         n_valid = np.zeros((s,), np.int32)
         indices: List[List[int]] = [[] for _ in range(s)]
         for i, q in enumerate(self._queues):
@@ -181,7 +189,7 @@ class StreamScheduler:
                 self.stats[i].pending -= 1
             n_valid[i] = len(indices[i])
 
-        flat = batch.reshape(s * f, h, w, 3)
+        flat = batch.reshape((s * f,) + sample.shape)
         if self._mesh is not None:
             # device_put the HOST array with the sharding directly: going
             # through jnp.asarray first lands the whole batch on device 0
@@ -189,6 +197,10 @@ class StreamScheduler:
             # the per-step hot path.
             frames_dev = jax.device_put(flat, self._frames_sharding)
             out = self._sharded_step(self._sharded_params, frames_dev)
+        elif self.yuv:
+            out = self.detector._ensure_yuv_step()(
+                self.detector.params, jnp.asarray(flat)
+            )
         else:
             out = self.detector.step_device(jnp.asarray(flat))
         emb = out.embedding.reshape(s, f, -1)
