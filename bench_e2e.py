@@ -83,9 +83,8 @@ def main():
 
     n_frames = FPS * SECONDS
     sampled = res.total_processed
-    # bytes/px actually uploaded: packed I420 is 1.5, BGR is 3 (the YUV
-    # path engages only without --annotate; see DetectorConfig.yuv_ingest)
-    yuv_used = not no_yuv and not annotate
+    # bytes/px actually uploaded: packed I420 is 1.5, BGR is 3
+    yuv_used = res.yuv_ingest
     upload_mb = sampled * H * W * (1.5 if yuv_used else 3) / 1e6
     result = {
         "metric": "e2e_wall_seconds_60s_1080p30" + ("_annotated" if annotate else ""),

@@ -179,9 +179,88 @@ PyObject* bgr_to_rgb(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+// i420_to_bgr(src, dst, width, height, rgb) -> None
+//
+// src: contiguous uint8 I420 picture, (h*3/2, w) — Y then U then V planes;
+// dst: writable contiguous uint8 (h, w, 3).  Applies EXACTLY the function
+// cv2/swscale uses for untagged/BT.601-limited yuv420p -> bgr24 (integer
+// fixed-point closed form learned exhaustively; see truely_tpu/ops/yuv.py
+// for provenance and the on-device twin) — so host frames produced here
+// are byte-identical to cv2.VideoCapture's BGR output for the same stream.
+// rgb != 0 reverses channel order (corrected-mode RGB).
+inline uint8_t clip8(int32_t v) {
+    return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+PyObject* i420_to_bgr(PyObject*, PyObject* args) {
+    PyObject* src_obj;
+    PyObject* dst_obj;
+    int w, h, rgb;
+    if (!PyArg_ParseTuple(args, "OOiip", &src_obj, &dst_obj, &w, &h, &rgb)) {
+        return nullptr;
+    }
+    BufferGuard src, dst;
+    if (!get_buffer(src_obj, &src, PyBUF_C_CONTIGUOUS, "src")) return nullptr;
+    if (!get_buffer(dst_obj, &dst, PyBUF_WRITABLE | PyBUF_C_CONTIGUOUS,
+                    "dst")) {
+        return nullptr;
+    }
+    if (w <= 0 || h <= 0 || (w % 2) || (h % 2) ||
+        src.view.len < (Py_ssize_t)w * h * 3 / 2 ||
+        dst.view.len < (Py_ssize_t)w * h * 3) {
+        PyErr_SetString(PyExc_ValueError,
+                        "i420_to_bgr: bad dims or undersized buffers");
+        return nullptr;
+    }
+    const uint8_t* yp = static_cast<const uint8_t*>(src.view.buf);
+    const uint8_t* up = yp + (size_t)w * h;
+    const uint8_t* vp = up + (size_t)(w / 2) * (h / 2);
+    uint8_t* out = static_cast<uint8_t*>(dst.view.buf);
+    const int c0 = rgb ? 2 : 0, c2 = rgb ? 0 : 2;
+    Py_BEGIN_ALLOW_THREADS
+    // Row-planar arithmetic passes (plain int32 loops the compiler
+    // auto-vectorizes; LUT gathers don't), then one interleave pass.
+    std::vector<int32_t> tb(w), tg(w), tr(w), q(w);
+    std::vector<uint8_t> brow(w), grow(w), rrow(w);
+    for (int cy = 0; cy < h / 2; ++cy) {
+        const uint8_t* urow = up + (size_t)cy * (w / 2);
+        const uint8_t* vrow = vp + (size_t)cy * (w / 2);
+        for (int cx = 0; cx < w / 2; ++cx) {
+            const int32_t uu = urow[cx], vv = vrow[cx];
+            const int32_t b = (132193 * uu - 16920704) >> 16;
+            const int32_t g =
+                ((-25673 * uu + 3286144) >> 16) + ((-53281 * vv + 6819968) >> 16);
+            const int32_t r = (104593 * vv - 13387904) >> 16;
+            tb[2 * cx] = tb[2 * cx + 1] = b;
+            tg[2 * cx] = tg[2 * cx + 1] = g;
+            tr[2 * cx] = tr[2 * cx + 1] = r;
+        }
+        for (int sub = 0; sub < 2; ++sub) {
+            const int y = 2 * cy + sub;
+            const uint8_t* yrow = yp + (size_t)y * w;
+            uint8_t* orow = out + (size_t)y * w * 3;
+            for (int x = 0; x < w; ++x)
+                q[x] = (76305 * (int32_t)yrow[x] - 1219995) >> 16;
+            for (int x = 0; x < w; ++x) brow[x] = clip8(q[x] + tb[x]);
+            for (int x = 0; x < w; ++x) grow[x] = clip8(q[x] + tg[x]);
+            for (int x = 0; x < w; ++x) rrow[x] = clip8(q[x] + tr[x]);
+            for (int x = 0; x < w; ++x) {
+                orow[3 * x + c0] = brow[x];
+                orow[3 * x + 1] = grow[x];
+                orow[3 * x + c2] = rrow[x];
+            }
+        }
+    }
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"pack_frames", pack_frames, METH_VARARGS,
      "pack_frames(dst, frames, offsets): memcpy frames into batch rows"},
+    {"i420_to_bgr", i420_to_bgr, METH_VARARGS,
+     "i420_to_bgr(src, dst, w, h, rgb): exact swscale-compatible "
+     "yuv420p->bgr24 (rgb flips channel order)"},
     {"draw_rect", draw_rect, METH_VARARGS,
      "draw_rect(frame, h, w, x1, y1, x2, y2, b, g, r, thickness)"},
     {"bgr_to_rgb", bgr_to_rgb, METH_VARARGS,

@@ -9,7 +9,7 @@ exts = [
     Extension(
         "framepack",
         sources=["framepack.cpp"],
-        extra_compile_args=["-O3", "-std=c++17", "-Wall"],
+        extra_compile_args=["-O3", "-march=native", "-std=c++17", "-Wall"],
     )
 ]
 
@@ -22,7 +22,7 @@ if os.path.exists("/usr/include/x86_64-linux-gnu/libavcodec/avcodec.h") or \
             "videodec",
             sources=["videodec.cpp"],
             libraries=["avformat", "avcodec", "avutil"],
-            extra_compile_args=["-O3", "-std=c++17", "-Wall"],
+            extra_compile_args=["-O3", "-march=native", "-std=c++17", "-Wall"],
         )
     )
 

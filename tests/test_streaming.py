@@ -187,3 +187,45 @@ def test_scheduler_defaults_to_detectors_mesh(detector):
     assert len(events) == 8
     solo = detector.analyze_frames(stream, fps=10)
     assert sched.score(0) == solo.fake_score
+
+
+def test_mesh_sharded_yuv_streams_match_bgr(detector):
+    """yuv=True over a data mesh: packed-I420 batches shard over chips,
+    the exact conversion runs shard-local, and events/scores equal the
+    unsharded BGR feed (the full product ingestion, sharded)."""
+    import jax
+
+    from truely_tpu.ops.yuv import i420_to_bgr
+    from truely_tpu.parallel.mesh import make_mesh
+
+    fps = 10
+    h, w = 64, 96
+    rng = np.random.default_rng(42)
+    # packed I420 stream + its exact BGR rendering (same pixels on device)
+    packed = rng.integers(0, 256, size=(16, h * 3 // 2, w), dtype=np.uint8)
+    bgr = np.asarray(i420_to_bgr(packed))
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+
+    def run(frames, yuv, mesh_arg):
+        sched = StreamScheduler(
+            detector, n_streams=2, frames_per_stream=4, fps=fps,
+            mesh=mesh_arg, yuv=yuv,
+        )
+        events = []
+        for t in range(frames.shape[0]):
+            for i in range(2):
+                sched.push(i, frames[t])
+            if sched.pending() >= 8:
+                events.extend(sched.step())
+        events.extend(sched.drain())
+        return events, [sched.score(i) for i in range(2)]
+
+    ev_yuv, sc_yuv = run(packed, True, mesh)
+    ev_bgr, sc_bgr = run(bgr, False, None)
+    assert sc_yuv == sc_bgr
+    assert len(ev_yuv) == len(ev_bgr)
+    for a, b in zip(ev_yuv, ev_bgr):
+        assert (a.stream_id, a.frame_index, a.has_face, a.flagged,
+                a.counter, a.box) == (b.stream_id, b.frame_index,
+                                      b.has_face, b.flagged, b.counter,
+                                      b.box)

@@ -210,6 +210,7 @@ def test_analyze_video_yuv_equivalence(tmp_path):
     det_bgr = Detector(DetectorConfig(yuv_ingest=False, **cfg))
     res_bgr = det_bgr.analyze_video(path)
 
+    assert res_yuv.yuv_ingest and not res_bgr.yuv_ingest
     assert res_yuv.fake_score == res_bgr.fake_score
     assert res_yuv.frame_count == res_bgr.frame_count == 10
     assert res_yuv.total_processed == res_bgr.total_processed
@@ -222,3 +223,92 @@ def test_analyze_video_yuv_equivalence(tmp_path):
         assert ry.flagged == rb.flagged
         assert ry.similarity == rb.similarity
         assert ry.counter == rb.counter
+
+
+@needs_videodec
+def test_host_frames_conversion_matches_cv2(tmp_path):
+    """framepack.i420_to_bgr (and its numpy fallback) == cv2's BGR decode
+    on random planes — the annotated-output path's host frames."""
+    from truely_tpu.media import native
+
+    rng = np.random.default_rng(21)
+    w, h = 64, 48
+    frames = random_i420(rng, w, h, 4)
+    path = str(tmp_path / "host.avi")
+    write_i420_avi(path, frames, w, h)
+    cap = cv2.VideoCapture(path)
+    for flat in frames:
+        ok, bgr = cap.read()
+        assert ok
+        packed = packed_view(flat, w, h)
+        np.testing.assert_array_equal(native.i420_to_bgr_host(packed), bgr)
+        # numpy fallback computes the identical function
+        ext = native._ext
+        native._ext = None
+        try:
+            np.testing.assert_array_equal(
+                native.i420_to_bgr_host(packed), bgr
+            )
+        finally:
+            native._ext = ext
+    cap.release()
+
+
+@needs_videodec
+def test_analyze_video_with_output_yuv_equivalence(tmp_path):
+    """With an annotated output, YUV ingestion (host frames via the native
+    conversion) must produce identical decisions AND an identical output
+    video to the cv2-BGR path."""
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    rng = np.random.default_rng(31)
+    w, h = 96, 64
+    frames = []
+    for _ in range(6):
+        y = rng.integers(40, 216, w * h, dtype=np.uint8)
+        u = rng.integers(100, 156, w * h // 4, dtype=np.uint8)
+        v = rng.integers(100, 156, w * h // 4, dtype=np.uint8)
+        frames.append(np.concatenate([y, u, v]))
+    path = str(tmp_path / "wo.avi")
+    write_i420_avi(path, frames, w, h, fps=10)
+
+    cfg = dict(
+        frame_batch=4,
+        mtcnn=MTCNNConfig(
+            pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+        compute_dtype="float32",
+    )
+    out_yuv = str(tmp_path / "out_yuv.mp4")
+    out_bgr = str(tmp_path / "out_bgr.mp4")
+    res_yuv = Detector(DetectorConfig(yuv_ingest=True, **cfg)).analyze_video(
+        path, out_yuv
+    )
+    res_bgr = Detector(DetectorConfig(yuv_ingest=False, **cfg)).analyze_video(
+        path, out_bgr
+    )
+    assert res_yuv.yuv_ingest and not res_bgr.yuv_ingest
+    assert res_yuv.fake_score == res_bgr.fake_score
+    assert [
+        (r.frame_index, r.has_face, r.box, r.flagged, r.similarity)
+        for r in res_yuv.records
+    ] == [
+        (r.frame_index, r.has_face, r.box, r.flagged, r.similarity)
+        for r in res_bgr.records
+    ]
+    # identical host frames + identical annotation -> identical videos
+    ca, cb = cv2.VideoCapture(out_yuv), cv2.VideoCapture(out_bgr)
+    n = 0
+    while True:
+        oka, fa = ca.read()
+        okb, fb = cb.read()
+        assert oka == okb
+        if not oka:
+            break
+        np.testing.assert_array_equal(fa, fb, err_msg=f"output frame {n}")
+        n += 1
+    assert n == 6
+    ca.release()
+    cb.release()

@@ -255,9 +255,8 @@ def main(argv=None) -> int:
                    help="RGB + corrected semantics instead of reference compat")
     p.add_argument("--compact", action="store_true", help="one-line JSON")
     p.add_argument("--no-yuv", action="store_true",
-                   help="disable native-YUV ingestion (it engages only "
-                        "without -o anyway; results are bit-identical "
-                        "either way)")
+                   help="disable native-YUV ingestion (results are "
+                        "bit-identical either way)")
     p.add_argument("--pallas-crop", action="store_true",
                    help="use the Pallas face-crop kernel (TPU only; see "
                         "PERFORMANCE.md finding 4 for when it wins)")

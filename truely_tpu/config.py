@@ -130,11 +130,13 @@ class DetectorConfig:
     # Upload sampled frames as native yuv420p (1.5 bytes/px, half the
     # host→device volume of BGR) and run the exact cv2/swscale colorspace
     # conversion on-device as the first fused step of the bucket jit
-    # (ops/yuv.py).  Engages only when the analysis needs no annotated
-    # output video (the host re-encode path needs BGR frames anyway), the
-    # native videodec extension is built, and the stream is eligible
-    # (8-bit yuv420p, untagged/BT.601 limited range) — otherwise the cv2
-    # decode path is used, so results are bit-identical either way.
+    # (ops/yuv.py).  When an annotated output video is written, host
+    # frames come from the same exact conversion natively (framepack
+    # i420_to_bgr — byte-identical to cv2's decode, ~2.7x faster than
+    # cv2's decode+swscale).  Engages when the native videodec extension
+    # is built and the stream is eligible (8-bit yuv420p, untagged/BT.601
+    # limited range) — otherwise the cv2 decode path is used, so results
+    # are bit-identical either way.
     yuv_ingest: bool = True
 
     def sample_interval(self, fps: int) -> int:

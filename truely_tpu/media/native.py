@@ -61,6 +61,35 @@ def draw_rect(frame: np.ndarray, x1: int, y1: int, x2: int, y2: int,
             frame[cy_s:cy_e + 1, xe] = color
 
 
+def i420_to_bgr_host(packed: np.ndarray, *, rgb: bool = False) -> np.ndarray:
+    """Host-side exact yuv420p -> BGR/RGB conversion of one I420 picture
+    ((H*3//2, W) uint8 -> (H, W, 3) uint8).
+
+    Byte-identical to cv2.VideoCapture's BGR decode of the same stream
+    (it is the same closed-form integer function as the on-device
+    ops/yuv.i420_to_bgr — see there for provenance); used to produce host
+    frames for the annotated re-encode path when ingestion is native YUV.
+    The numpy fallback computes the identical function (tested equal)."""
+    rows, w = packed.shape
+    h = rows * 2 // 3
+    out = np.empty((h, w, 3), np.uint8)
+    if _ext is not None and packed.flags["C_CONTIGUOUS"]:
+        _ext.i420_to_bgr(packed, out, int(w), int(h), bool(rgb))
+        return out
+    y = packed[:h].astype(np.int32)
+    u = packed[h: h + h // 4].reshape(h // 2, w // 2).astype(np.int32)
+    v = packed[h + h // 4:].reshape(h // 2, w // 2).astype(np.int32)
+    u = np.repeat(np.repeat(u, 2, 0), 2, 1)
+    v = np.repeat(np.repeat(v, 2, 0), 2, 1)
+    q = (76305 * y - 1219995) >> 16
+    b = q + ((132193 * u - 16920704) >> 16)
+    g = q + ((-25673 * u + 3286144) >> 16) + ((-53281 * v + 6819968) >> 16)
+    r = q + ((104593 * v - 13387904) >> 16)
+    chans = (r, g, b) if rgb else (b, g, r)
+    out[...] = np.clip(np.stack(chans, axis=-1), 0, 255)
+    return out
+
+
 def bgr_to_rgb(frame: np.ndarray) -> None:
     """In-place BGR<->RGB channel swap."""
     if _ext is not None and frame.flags["C_CONTIGUOUS"]:
