@@ -71,6 +71,8 @@ class MTCNNConfig:
     # move <= N-1 px and each output bin averages N x N superpixels;
     # arithmetic stays exact integers under the quantized semantics.
     # 1 disables (exact full-res crops — all parity/golden paths).
+    # Measured decision impact (with bf16, vs the f32 exact chain, random
+    # weights): PERFORMANCE.md "Fast-path drift".
     stage_crop_quant: int = 4
     # Fixed capacities (TPU-native replacement for dynamic box counts):
     # ONE global top-K over every cell of every pyramid level (fan-in

@@ -323,6 +323,24 @@ class Detector:
         step + temporal fold."""
         b = self.config.frame_batch
         frames = jnp.zeros((b, height, width, 3), jnp.uint8)
+        if self.config.yuv_ingest and height % 2 == 0 and width % 2 == 0:
+            # Also pre-compile the packed-I420 step (the default ingestion
+            # for eligible streams) — but only when the native decoder is
+            # actually present, so rigs without it don't pay a dead compile.
+            try:
+                from truely_tpu.media import videodec  # noqa: F401
+
+                packed = jnp.zeros((b, height * 3 // 2, width), jnp.uint8)
+                if self.config.multi_face:
+                    jax.block_until_ready(
+                        self._ensure_mstep_yuv()(self.params, packed)
+                    )
+                else:
+                    jax.block_until_ready(
+                        self._ensure_yuv_step()(self.params, packed)
+                    )
+            except ImportError:
+                pass
         if self.config.multi_face:
             from truely_tpu.pipeline.tracks import init_track_state
 
