@@ -58,8 +58,11 @@ def _chain_time(det, frames, n_steps, batch):
     return time.perf_counter() - t0
 
 
-def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi):
-    """Video frames/sec/chip for one config (slope-timed, best of 3)."""
+def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
+             yuv=False):
+    """Video frames/sec/chip for one config (slope-timed, best of 3).
+    ``yuv=True`` feeds packed I420 through the production-ingestion step
+    (on-device exact colorspace conversion included in the timing)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,7 +80,15 @@ def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi):
     interval = config.sample_interval(fps_video)  # 4 at 30 fps
 
     rng = np.random.default_rng(0)
-    frames_host = rng.integers(0, 256, (batch, height, width, 3), dtype=np.uint8)
+    if yuv:
+        frames_host = rng.integers(
+            0, 256, (batch, height * 3 // 2, width), dtype=np.uint8
+        )
+        det.step_device = lambda f, _s=det._ensure_yuv_step(): _s(det.params, f)  # noqa: E501
+    else:
+        frames_host = rng.integers(
+            0, 256, (batch, height, width, 3), dtype=np.uint8
+        )
     frames = jax.device_put(jnp.asarray(frames_host))
 
     # Warmup / compile (both executables + the scalar-fetch path).
@@ -145,13 +156,14 @@ def main():
     # Default sweep: secondary lines first, the production-1080p headline
     # LAST (the driver parses the final JSON line).  The 900 fps target is
     # a 1080p number, so only 1080p lines get vs_baseline.
-    for name, h, w, quant, exact in (
-        ("360p", 360, 640, 4, False),
-        ("720p", 720, 1280, 4, False),
-        ("1080p_exact", 1080, 1920, 1, True),
+    for name, h, w, quant, exact, yuv in (
+        ("360p", 360, 640, 4, False, False),
+        ("720p", 720, 1280, 4, False, False),
+        ("1080p_exact", 1080, 1920, 1, True, False),
+        ("1080p_yuv_ingest", 1080, 1920, 4, False, True),
     ):
         try:
-            fps = _measure(h, w, 128, quant, exact, 2, 7)
+            fps = _measure(h, w, 128, quant, exact, 2, 7, yuv=yuv)
             _emit(name, fps, baseline=baseline if h == 1080 else None)
         except Exception as e:  # a secondary config must not eat the headline
             print(f"bench config {name} failed: {e}", file=sys.stderr)
