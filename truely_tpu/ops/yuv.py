@@ -64,6 +64,19 @@ def i420_to_bgr(packed: jnp.ndarray, *, rgb: bool = False) -> jnp.ndarray:
     u = packed[:, h : h + h // 4, :].reshape(b, ch, cw).astype(jnp.int32)
     v = packed[:, h + h // 4 :, :].reshape(b, ch, cw).astype(jnp.int32)
 
+    # Every post-shift value fits int16 (q ∈ [-19, 278], chroma terms ∈
+    # [-259, 256], sums ∈ [-483, 534]), so the luma ramp and the chroma
+    # TERMS narrow to int16 before any full-resolution materialization —
+    # XLA materializes the 2×2 chroma upsample and the per-channel planes
+    # at (B, H, W) scale, and int16 halves every one of those buffers
+    # (measured: the naive s32 version cost ~42 ms/step at 1080p b128,
+    # dominated by four ~1 GB s32 broadcast materializations + layout
+    # copies — scripts/probes/probe_yuv_trace.py).
+    q = _affine(y, _LUMA).astype(jnp.int16)
+    tb = _affine(u, _B_U).astype(jnp.int16)
+    tg = (_affine(u, _G_U) + _affine(v, _G_V)).astype(jnp.int16)
+    tr = _affine(v, _R_V).astype(jnp.int16)
+
     # 2×2 chroma replication (swscale's unscaled fast path does not
     # interpolate), as a broadcast-reshape so XLA fuses it.
     def up2(p):
@@ -71,13 +84,9 @@ def i420_to_bgr(packed: jnp.ndarray, *, rgb: bool = False) -> jnp.ndarray:
             p[:, :, None, :, None], (b, ch, 2, cw, 2)
         ).reshape(b, h, w)
 
-    u = up2(u)
-    v = up2(v)
+    def chan(term):
+        return jnp.clip(q + up2(term), 0, 255).astype(jnp.uint8)
 
-    q = _affine(y, _LUMA)
-    bb = q + _affine(u, _B_U)
-    gg = q + _affine(u, _G_U) + _affine(v, _G_V)
-    rr = q + _affine(v, _R_V)
+    bb, gg, rr = chan(tb), chan(tg), chan(tr)
     chans = (rr, gg, bb) if rgb else (bb, gg, rr)
-    out = jnp.stack(chans, axis=-1)
-    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return jnp.stack(chans, axis=-1)
