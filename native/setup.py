@@ -25,6 +25,14 @@ if os.path.exists("/usr/include/x86_64-linux-gnu/libavcodec/avcodec.h") or \
             extra_compile_args=["-O3", "-march=native", "-std=c++17", "-Wall"],
         )
     )
+    exts.append(
+        Extension(
+            "videoenc",
+            sources=["videoenc.cpp"],
+            libraries=["avformat", "avcodec", "avutil", "swscale"],
+            extra_compile_args=["-O3", "-march=native", "-std=c++17", "-Wall"],
+        )
+    )
 
 setup(
     name="framepack",

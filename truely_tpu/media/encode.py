@@ -1,7 +1,13 @@
 """Host-side video encode (annotated output, reference model.py:35-36,77).
 
-Tries H.264 fourccs first (what the reference requests) and falls back to
-mp4v where no H.264 encoder is present (e.g. this build container).
+The reference requests H.264 from cv2.VideoWriter; cv2's bundled FFmpeg
+in this image has no usable H.264 encoder (h264_v4l2m2m fails to
+configure, printing errors on every open) so cv2 degrades to mp4v.  The
+first-party native writer (native/videoenc.cpp, libx264 via the SYSTEM
+libavcodec) is preferred when built — actual H.264 output like the
+reference asks for, at mp4v-comparable speed (15 ms/frame at 1080p,
+ultrafast/crf 23) and far better quality per bit.  Falls back to the cv2
+fourcc chain (avc1 → H264 → mp4v) when the extension isn't built.
 """
 
 from __future__ import annotations
@@ -12,6 +18,11 @@ from typing import Optional, Sequence
 import numpy as np
 import cv2
 
+try:  # built by scripts/build_native.sh
+    from truely_tpu.media import videoenc as _venc
+except ImportError:
+    _venc = None
+
 _CODEC_PREFERENCE: Sequence[str] = ("avc1", "H264", "mp4v")
 
 
@@ -19,7 +30,26 @@ class VideoWriter:
     def __init__(self, path: str, fps: float, width: int, height: int):
         self.path = path
         self._writer: Optional[cv2.VideoWriter] = None
+        self._native = None
         self.codec: Optional[str] = None
+        if (
+            _venc is not None
+            and width % 2 == 0
+            and height % 2 == 0
+            and float(fps) > 0
+        ):
+            try:
+                # integer-rational fps (cv2 metadata reports float)
+                fps_num, fps_den = (
+                    (int(round(fps)), 1)
+                    if abs(fps - round(fps)) < 1e-6
+                    else (int(round(fps * 1001)), 1001)
+                )
+                self._native = _venc.open(path, width, height, fps_num, fps_den)
+                self.codec = "h264"
+                return
+            except Exception:
+                self._native = None
         for codec in _CODEC_PREFERENCE:
             fourcc = cv2.VideoWriter_fourcc(*codec)
             w = cv2.VideoWriter(path, fourcc, fps, (width, height))
@@ -32,9 +62,15 @@ class VideoWriter:
             raise IOError(f"no working video encoder for {path}")
 
     def write(self, frame: np.ndarray) -> None:
+        if self._native is not None:
+            _venc.write(self._native, np.ascontiguousarray(frame))
+            return
         self._writer.write(frame)
 
     def close(self) -> None:
+        if self._native is not None:
+            native, self._native = self._native, None
+            _venc.close(native)
         if self._writer is not None:
             self._writer.release()
             self._writer = None
