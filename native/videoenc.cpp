@@ -213,6 +213,65 @@ PyObject* ve_write(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+PyObject* ve_write_i420(PyObject*, PyObject* args) {
+    PyObject* cap_obj;
+    PyObject* buf_obj;
+    if (!PyArg_ParseTuple(args, "OO", &cap_obj, &buf_obj)) return nullptr;
+    Enc* e = get_enc(cap_obj);
+    if (!e) return nullptr;
+    if (e->finalized) {
+        PyErr_SetString(PyExc_ValueError, "videoenc: writer already closed");
+        return nullptr;
+    }
+
+    Py_buffer src{};
+    if (PyObject_GetBuffer(buf_obj, &src, PyBUF_C_CONTIGUOUS) != 0) {
+        PyErr_SetString(PyExc_TypeError, "picture must be a contiguous buffer");
+        return nullptr;
+    }
+    const int w = e->ctx->width, h = e->ctx->height;
+    const Py_ssize_t need = (Py_ssize_t)w * h * 3 / 2;
+    if (src.len < need) {
+        PyBuffer_Release(&src);
+        PyErr_Format(PyExc_ValueError,
+                     "videoenc: I420 picture too small (%zd < %zd)",
+                     src.len, need);
+        return nullptr;
+    }
+
+    int err = 0;
+    Py_BEGIN_ALLOW_THREADS
+    err = av_frame_make_writable(e->frame);
+    if (err >= 0) {
+        // Packed I420 (the cv2 layout: Y as H rows of W, then U and V each
+        // as H/4 rows of W holding an (H/2, W/2) plane) copied straight
+        // into the encoder frame — no swscale, no colorspace round trip.
+        const uint8_t* p = static_cast<const uint8_t*>(src.buf);
+        const uint8_t* py = p;
+        const uint8_t* pu = p + (size_t)w * h;
+        const uint8_t* pv = pu + (size_t)(w / 2) * (h / 2);
+        av_image_copy_plane(e->frame->data[0], e->frame->linesize[0],
+                            py, w, w, h);
+        av_image_copy_plane(e->frame->data[1], e->frame->linesize[1],
+                            pu, w / 2, w / 2, h / 2);
+        av_image_copy_plane(e->frame->data[2], e->frame->linesize[2],
+                            pv, w / 2, w / 2, h / 2);
+        e->frame->pts = e->pts++;
+        err = avcodec_send_frame(e->ctx, e->frame);
+    }
+    if (err >= 0) err = drain(e);
+    Py_END_ALLOW_THREADS
+
+    PyBuffer_Release(&src);
+    if (err < 0) {
+        char buf[256];
+        av_strerror(err, buf, sizeof buf);
+        PyErr_Format(PyExc_IOError, "videoenc: encode error: %s", buf);
+        return nullptr;
+    }
+    Py_RETURN_NONE;
+}
+
 PyObject* ve_close(PyObject*, PyObject* args) {
     PyObject* cap_obj;
     if (!PyArg_ParseTuple(args, "O", &cap_obj)) return nullptr;
@@ -249,6 +308,9 @@ PyMethodDef methods[] = {
      "open(path, width, height, fps_num, fps_den) -> handle"},
     {"write", ve_write, METH_VARARGS,
      "write(handle, frame): encode one (H, W, 3) uint8 BGR frame"},
+    {"write_i420", ve_write_i420, METH_VARARGS,
+     "write_i420(handle, packed): encode one packed (H*3//2, W) uint8 "
+     "I420 picture without any colorspace conversion"},
     {"close", ve_close, METH_VARARGS,
      "close(handle): flush + write the MP4 trailer"},
     {nullptr, nullptr, 0, nullptr},

@@ -113,6 +113,65 @@ def test_videoenc_h264_roundtrip(tmp_path):
     videodec.close(hnd)
 
 
+def test_videoenc_write_i420_mixed(tmp_path):
+    """write_i420 feeds decoded I420 planes straight to the encoder (the
+    annotated path uses it for every frame that isn't drawn on, mixed with
+    BGR writes for the drawn ones): the output must decode with the right
+    count and stay close to the source pixels — CLOSER than a BGR round
+    trip would, since no colorspace conversion happens at all."""
+    pytest.importorskip("truely_tpu.media.videoenc")
+    import cv2
+
+    from truely_tpu.media.encode import VideoWriter
+
+    rng = np.random.default_rng(7)
+    w, h = 96, 64
+    # smooth planes so crf-23 coding loss stays small
+    def smooth(shape):
+        a = rng.integers(0, 256, shape, np.uint8)
+        return cv2.blur(a, (15, 15))
+
+    pics = []
+    for _ in range(6):
+        y = smooth((h, w))
+        u = smooth((h // 2, w // 2))
+        v = smooth((h // 2, w // 2))
+        packed = np.concatenate(
+            [y.reshape(-1), u.reshape(-1), v.reshape(-1)]
+        ).reshape(h * 3 // 2, w)
+        pics.append(packed)
+
+    path = str(tmp_path / "mixed.mp4")
+    with VideoWriter(path, 10, w, h) as writer:
+        assert writer.codec == "h264"
+        for i, packed in enumerate(pics):
+            if i == 3:  # one frame through the BGR path, like a drawn frame
+                writer.write(native.i420_to_bgr_host(packed))
+            else:
+                writer.write_i420(packed)
+
+    cap = cv2.VideoCapture(path)
+    n = 0
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        src = native.i420_to_bgr_host(pics[n])
+        err = np.abs(f.astype(int) - src.astype(int)).mean()
+        assert err < 4.0, f"frame {n}: mean abs err {err:.2f}"
+        n += 1
+    cap.release()
+    assert n == 6
+
+
+def test_videoenc_write_i420_rejects_short_buffer(tmp_path):
+    videoenc = pytest.importorskip("truely_tpu.media.videoenc")
+    hnd = videoenc.open(str(tmp_path / "s.mp4"), 96, 64, 10, 1)
+    with pytest.raises(ValueError):
+        videoenc.write_i420(hnd, np.zeros((64, 96), np.uint8))
+    videoenc.close(hnd)
+
+
 def test_videoenc_rejects_bad_dims(tmp_path):
     videoenc = pytest.importorskip("truely_tpu.media.videoenc")
     with pytest.raises(ValueError):

@@ -256,9 +256,12 @@ def test_host_frames_conversion_matches_cv2(tmp_path):
 
 @needs_videodec
 def test_analyze_video_with_output_yuv_equivalence(tmp_path):
-    """With an annotated output, YUV ingestion (host frames via the native
-    conversion) must produce identical decisions AND an identical output
-    video to the cv2-BGR path."""
+    """With an annotated output, YUV ingestion must produce identical
+    DECISIONS to the cv2-BGR path.  The encoded pixels are no longer
+    byte-identical by design: frames that aren't drawn on re-encode
+    straight from the decoded I420 planes (write_i420), skipping the
+    yuv→BGR→yuv round trip — so the YUV path's output must be at least
+    as close to the source pixels as the BGR path's, frame by frame."""
     from truely_tpu.config import DetectorConfig, MTCNNConfig
     from truely_tpu.pipeline.detector import Detector
 
@@ -298,7 +301,12 @@ def test_analyze_video_with_output_yuv_equivalence(tmp_path):
         (r.frame_index, r.has_face, r.box, r.flagged, r.similarity)
         for r in res_bgr.records
     ]
-    # identical host frames + identical annotation -> identical videos
+    # same frame count; near-identical pictures (both encode the same
+    # source, differing only in conversion rounding pre-encode); and the
+    # direct-I420 path is at least as faithful to the source as the BGR
+    # round trip (measured: ~6.5 vs ~6.8 mean abs error on this content).
+    from truely_tpu.media.native import i420_to_bgr_host
+
     ca, cb = cv2.VideoCapture(out_yuv), cv2.VideoCapture(out_bgr)
     n = 0
     while True:
@@ -307,8 +315,78 @@ def test_analyze_video_with_output_yuv_equivalence(tmp_path):
         assert oka == okb
         if not oka:
             break
-        np.testing.assert_array_equal(fa, fb, err_msg=f"output frame {n}")
+        src = i420_to_bgr_host(frames[n].reshape(h * 3 // 2, w))
+        diff = np.abs(fa.astype(int) - fb.astype(int)).mean()
+        err_yuv = np.abs(fa.astype(int) - src.astype(int)).mean()
+        err_bgr = np.abs(fb.astype(int) - src.astype(int)).mean()
+        assert diff < 8.0, f"frame {n}: paths diverged (mean |d|={diff:.2f})"
+        assert err_yuv <= err_bgr + 0.5, (
+            f"frame {n}: I420-direct output less faithful than the BGR "
+            f"round trip ({err_yuv:.2f} vs {err_bgr:.2f})"
+        )
         n += 1
     assert n == 6
     ca.release()
     cb.release()
+
+
+@needs_videodec
+def test_annotated_drawn_path_yuv(tmp_path):
+    """The drawn path under YUV ingestion: frames the detector annotates
+    are converted i420→BGR (exact), drawn on, and written through the BGR
+    encoder path; everything else goes through write_i420.  Forcing every
+    sampled frame to be annotated+flagged (by wrapping the temporal jit)
+    exercises the conversion+draw+write integration with real boxes, and
+    the red overlay must be present in the decoded output."""
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    rng = np.random.default_rng(5)
+    w, h = 96, 64
+    frames = []
+    for _ in range(6):
+        y = rng.integers(40, 216, w * h, dtype=np.uint8)
+        u = rng.integers(100, 156, w * h // 4, dtype=np.uint8)
+        v = rng.integers(100, 156, w * h // 4, dtype=np.uint8)
+        frames.append(np.concatenate([y, u, v]))
+    path = str(tmp_path / "drawn.avi")
+    write_i420_avi(path, frames, w, h, fps=10)
+
+    det = Detector(
+        DetectorConfig(
+            frame_batch=4,
+            yuv_ingest=True,
+            compute_dtype="float32",
+            mtcnn=MTCNNConfig(
+                pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+                thresholds=(0.5, 0.3, 0.2),
+            ),
+        )
+    )
+    real_temporal = det._temporal
+
+    def force_annotated(emb, has_face, n_valid, state):
+        res = real_temporal(emb, has_face, n_valid, state)
+        ones = jnp.ones_like(res.annotated)
+        return res._replace(annotated=ones, flagged=ones)
+
+    det._temporal = force_annotated
+    out = str(tmp_path / "drawn_out.mp4")
+    res = det.analyze_video(path, out)
+    assert res.yuv_ingest
+    assert all(r.annotated and r.flagged for r in res.records)
+
+    cap = cv2.VideoCapture(out)
+    n = 0
+    saw_red = 0
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        # flagged ⇒ a red rectangle (BGR (0,0,255)) somewhere in the frame
+        red = (f[..., 2].astype(int) - f[..., :2].astype(int).max(-1)) > 120
+        saw_red += bool(red.any())
+        n += 1
+    cap.release()
+    assert n == 6
+    assert saw_red == 6

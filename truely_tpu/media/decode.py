@@ -33,8 +33,10 @@ class VideoMeta:
 class Segment:
     """A contiguous chunk of the video covering one device batch."""
 
-    frames: List[np.ndarray]        # raw frames, in order (BGR HWC uint8);
-                                    # EMPTY in YUV mode (no host pixels)
+    frames: List[np.ndarray]        # raw frames, in order (BGR HWC uint8,
+                                    # or packed I420 (H*3//2, W) when
+                                    # ``frames_i420``); EMPTY in YUV mode
+                                    # without host_frames
     frame_indices: List[int]        # global indices of the segment's frames
     sampled: np.ndarray             # (B, H, W, 3) uint8 padded, or packed
                                     # I420 (B, H*3//2, W) in YUV mode
@@ -42,6 +44,8 @@ class Segment:
     n_valid: int                    # number of valid rows in ``sampled``
     n_frames: int = 0               # total frames covered (== len(frames)
                                     # in BGR mode)
+    frames_i420: bool = False       # True when ``frames`` holds packed
+                                    # I420 pictures instead of BGR/RGB
 
 
 # swscale tag values for which the on-device conversion (ops/yuv.py) is
@@ -90,10 +94,14 @@ class VideoReader:
     ``yuv=True`` requests native-YUV segments: frames decode through the
     first-party videodec extension straight into packed I420 staging
     buffers (half the bytes of BGR, no host colorspace conversion), and
-    ``Segment.frames`` stays empty — callers that need host pixels (the
-    annotated re-encode path) must not request it.  Falls back to the cv2
-    BGR path (``yuv_active == False``) when the extension is missing or
-    the stream is ineligible for the exact on-device conversion.
+    ``Segment.frames`` stays empty.  Callers that need host pixels (the
+    annotated re-encode path) pass ``host_frames=True``: each segment then
+    carries the packed I420 picture of EVERY frame (``frames_i420=True``)
+    so the writer can re-encode without any host colorspace conversion at
+    all — the consumer converts only the few frames it draws on.  Falls
+    back to the cv2 BGR path (``yuv_active == False``) when the extension
+    is missing or the stream is ineligible for the exact on-device
+    conversion.
     """
 
     def __init__(self, path: str, *, rgb: bool = False, prefetch: int = 2,
@@ -227,8 +235,6 @@ class VideoReader:
             return False
 
         def yuv_producer():
-            from truely_tpu.media.native import i420_to_bgr_host
-
             vd, hnd = self._vd
             h, w = self.meta.height, self.meta.width
             rows = h * 3 // 2
@@ -252,6 +258,7 @@ class VideoReader:
                             sampled_indices=list(sampled_idx),
                             n_valid=len(sampled_idx),
                             n_frames=len(cur_idx),
+                            frames_i420=host,
                         )
                     )
                     # the flushed Segment owns the buffer; stage a fresh one
@@ -269,14 +276,17 @@ class VideoReader:
                         if not vd.read(hnd, buf):
                             break
                         sampled_idx.append(idx)
+                        if host:
+                            # a view — the Segment keeps ``stack`` alive
+                            cur_frames.append(buf)
                     else:
-                        buf = scratch
+                        buf = (
+                            np.empty((rows, w), np.uint8) if host else scratch
+                        )
                         if not vd.read(hnd, buf):
                             break
-                    if host:
-                        cur_frames.append(
-                            i420_to_bgr_host(buf, rgb=self._rgb)
-                        )
+                        if host:
+                            cur_frames.append(buf)
                     cur_idx.append(idx)
                     idx += 1
                     if len(sampled_idx) == batch:

@@ -67,6 +67,21 @@ class VideoWriter:
             return
         self._writer.write(frame)
 
+    def write_i420(self, packed: np.ndarray) -> None:
+        """Encode one packed (H*3//2, W) uint8 I420 picture.
+
+        With the native writer the planes copy straight into the encoder
+        frame — no colorspace conversion at all, so frames that were
+        decoded as yuv420p and never annotated round-trip without the
+        yuv→BGR→yuv loss (and without its CPU cost).  The cv2 fallback
+        converts to BGR first (cv2.VideoWriter has no planar input)."""
+        if self._native is not None:
+            _venc.write_i420(self._native, np.ascontiguousarray(packed))
+            return
+        from truely_tpu.media.native import i420_to_bgr_host
+
+        self._writer.write(i420_to_bgr_host(packed))
+
     def close(self) -> None:
         if self._native is not None:
             native, self._native = self._native, None

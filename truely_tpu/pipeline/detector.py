@@ -18,6 +18,8 @@ and masked.  Quirks preserved under ``reference_compat`` (BGR input, 80x80
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -30,6 +32,7 @@ import jax.numpy as jnp
 from truely_tpu.config import DetectorConfig
 from truely_tpu.media.decode import VideoReader
 from truely_tpu.media.encode import VideoWriter
+from truely_tpu.media.native import i420_to_bgr_host
 from truely_tpu.media.overlay import annotate_frame
 from truely_tpu.models.inception_resnet_v1 import apply_inception_resnet_v1
 from truely_tpu.models.landmark68 import apply_landmark68
@@ -450,21 +453,25 @@ class Detector:
             total_processed = 0
             flagged_total = 0
 
-            def finish_segment(seg, out, res):
-                nonlocal flagged_total, total_processed, frame_count
+            def fetch_results(out, res):
+                # Main thread: ONE host fetch for everything the annotator
+                # needs — on remote-TPU rigs each transfer is a full tunnel
+                # round trip, so batching fetches dominates host latency.
                 t1 = time.perf_counter()
-                # ONE host fetch for everything the annotator needs: on
-                # remote-TPU rigs each transfer is a full tunnel round trip,
-                # so batching fetches dominates host-side latency.
                 fetch = (out.crop_bounds, res.has_face, res.annotated,
                          res.flagged, res.similarity, res.counter)
                 if cfg.draw_landmarks:
                     fetch = fetch + (out.landmarks68,)
                 got = jax.device_get(fetch)
-                bounds, has_face, annotated, flagged, sims, counters = got[:6]
-                lmks = got[6] if cfg.draw_landmarks else None
                 timings["device"] += time.perf_counter() - t1
+                lmks = got[6] if cfg.draw_landmarks else None
+                return got[:6] + (lmks,)
 
+            def finish_segment(seg, fetched):
+                nonlocal flagged_total, total_processed, frame_count
+                bounds, has_face, annotated, flagged, sims, counters, lmks = (
+                    fetched
+                )
                 flagged_total += int(np.sum(flagged[: seg.n_valid]))
                 total_processed += seg.n_valid
                 frame_count += seg.n_frames
@@ -474,6 +481,7 @@ class Detector:
                 for j, gi in enumerate(seg.frame_indices):
                     frame = seg.frames[j] if seg.frames else None
                     k = ann.get(gi)
+                    px = None  # interleaved pixels, only if drawn on
                     if k is not None:
                         records.append(
                             FrameRecord(
@@ -487,8 +495,19 @@ class Detector:
                             )
                         )
                         if writer and annotated[k]:
+                            # Only frames that get drawn on need interleaved
+                            # pixels; everything else re-encodes straight
+                            # from the decoded I420 planes (no colorspace
+                            # conversion in either direction).
+                            px = (
+                                i420_to_bgr_host(
+                                    frame, rgb=not cfg.reference_compat
+                                )
+                                if seg.frames_i420
+                                else frame
+                            )
                             annotate_frame(
-                                frame, bounds[k],
+                                px, bounds[k],
                                 flagged=bool(flagged[k]), frame_index=gi,
                                 rgb=not cfg.reference_compat,
                             )
@@ -500,20 +519,61 @@ class Detector:
                                     [max(x1 - x0, 1), max(y1 - y0, 1)]
                                 ) + np.asarray([x0, y0])
                                 draw_landmarks(
-                                    frame, pts, rgb=not cfg.reference_compat
+                                    px, pts, rgb=not cfg.reference_compat
                                 )
                     if writer:
-                        # cv2 encodes BGR; corrected mode decodes RGB.
-                        writer.write(
-                            frame if cfg.reference_compat
-                            else np.ascontiguousarray(frame[..., ::-1])
-                        )
+                        if px is None and seg.frames_i420:
+                            writer.write_i420(frame)
+                        else:
+                            if px is None:
+                                px = frame
+                            # cv2 encodes BGR; corrected mode decodes RGB.
+                            writer.write(
+                                px if cfg.reference_compat
+                                else np.ascontiguousarray(px[..., ::-1])
+                            )
                 timings["encode"] += time.perf_counter() - t2
 
             yuv_was_active = reader.yuv_active
             step = (
                 self._ensure_yuv_step() if reader.yuv_active else self._step
             )
+            # With an output video, annotate+encode runs on its own worker
+            # thread: x264 (GIL-released) then overlaps the main thread's
+            # H2D-upload/fetch waits and the decode thread — on a remote-
+            # attached TPU the tunnel wait is exactly when the host core is
+            # otherwise idle.  All JAX calls stay on the main thread; the
+            # worker gets already-fetched numpy arrays.  Score-only runs
+            # keep the single-threaded path (the host work is trivial).
+            work_q: "queue.Queue" = queue.Queue(maxsize=2)
+            werr: List[BaseException] = []
+
+            def writer_worker():
+                while True:
+                    item = work_q.get()
+                    if item is None:
+                        return
+                    if werr:
+                        continue  # drain remaining items after a failure
+                    try:
+                        finish_segment(*item)
+                    except BaseException as e:  # propagate to the caller
+                        werr.append(e)
+
+            wt = (
+                threading.Thread(target=writer_worker, daemon=True)
+                if writer is not None
+                else None
+            )
+            if wt is not None:
+                wt.start()
+
+            def emit(seg, fetched):
+                if wt is not None:
+                    work_q.put((seg, fetched))
+                else:
+                    finish_segment(seg, fetched)
+
             try:
                 # One-deep software pipeline: the device (and the H2D upload)
                 # works on segment N while the host annotates/encodes N-1.
@@ -530,14 +590,21 @@ class Detector:
                     )
                     state = res.state
                     if in_flight is not None:
-                        finish_segment(*in_flight)
+                        seg0, out0, res0 = in_flight
+                        emit(seg0, fetch_results(out0, res0))
                     in_flight = (seg, out, res)
                     t0 = time.perf_counter()
                 if in_flight is not None:
-                    finish_segment(*in_flight)
+                    seg0, out0, res0 = in_flight
+                    emit(seg0, fetch_results(out0, res0))
             finally:
+                if wt is not None:
+                    work_q.put(None)
+                    wt.join()
                 if writer:
                     writer.close()
+            if werr:
+                raise werr[0]
 
         score = int(
             self._score(
@@ -751,19 +818,32 @@ class Detector:
                     ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
                     for gi, frame in zip(seg.frame_indices, seg.frames):
                         k = ann.get(gi)
-                        if k is not None:
+                        drawn = k is not None and any(
+                            bool(t_upd[k, t]) for t in range(cfg.max_tracks)
+                        )
+                        if not drawn and seg.frames_i420:
+                            # untouched frames re-encode straight from the
+                            # decoded I420 planes (no colorspace round trip)
+                            writer.write_i420(frame)
+                            continue
+                        px = (
+                            i420_to_bgr_host(frame, rgb=not cfg.reference_compat)
+                            if seg.frames_i420
+                            else frame
+                        )
+                        if drawn:
                             for t in range(cfg.max_tracks):
                                 if t_upd[k, t]:
                                     annotate_frame(
-                                        frame, t_boxes[k, t],
+                                        px, t_boxes[k, t],
                                         flagged=bool(t_flag[k, t]),
                                         frame_index=gi,
                                         rgb=not cfg.reference_compat,
                                     )
                         # cv2 encodes BGR; corrected mode decodes RGB.
                         writer.write(
-                            frame if cfg.reference_compat
-                            else np.ascontiguousarray(frame[..., ::-1])
+                            px if cfg.reference_compat
+                            else np.ascontiguousarray(px[..., ::-1])
                         )
             finally:
                 if writer:
