@@ -296,3 +296,26 @@ def test_abandoned_segments_generator_stops_producer(tmp_path):
     with VideoReader(path) as r2:
         segs = list(r2.segments(1, 8))
         assert sum(s.n_valid for s in segs) == 120
+
+
+def test_writer_failure_propagates_without_hanging(tmp_path, detector, monkeypatch):
+    """Annotate+encode runs on a worker thread: an encoder failure mid-run
+    (disk full, codec error) must surface as the analyze_video exception —
+    promptly, with the decode producer and worker retired, not a hang."""
+    from truely_tpu.media.encode import VideoWriter
+
+    path = str(tmp_path / "in.mp4")
+    out = str(tmp_path / "out.mp4")
+    synth_video(path)
+
+    def failing_write(self, frame):
+        raise IOError("simulated encoder failure")
+
+    monkeypatch.setattr(VideoWriter, "write", failing_write)
+    monkeypatch.setattr(VideoWriter, "write_i420", failing_write)
+    with pytest.raises(IOError, match="simulated encoder failure"):
+        detector.analyze_video(path, out)
+    # a fresh run on the same detector still works (no poisoned state)
+    monkeypatch.undo()
+    res = detector.analyze_video(path)
+    assert res.frame_count == 25
