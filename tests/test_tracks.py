@@ -369,3 +369,42 @@ def test_track_scores_aggregate():
     assert scores[0] > 0
     assert scores[1] == 0   # processed but never flagged
     assert scores[2] == 0   # never processed
+
+
+def test_multiface_writer_failure_propagates(tmp_path, monkeypatch):
+    """The multiface annotated path shares the encode worker thread: an
+    encoder failure mid-run must surface as the analyze exception, not a
+    hang, and the detector must stay usable afterwards."""
+    import cv2
+    import pytest
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.media.encode import VideoWriter
+    from truely_tpu.pipeline.detector import Detector
+
+    path = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        writer.write(cv2.blur(
+            rng.integers(0, 256, size=(64, 96, 3), dtype=np.uint8), (9, 9)))
+    writer.release()
+
+    cfg = DetectorConfig(
+        frame_batch=4, max_tracks=2, compute_dtype="float32",
+        mtcnn=MTCNNConfig(
+            pnet_topk_total=16,
+            rnet_capacity=8, onet_capacity=4, thresholds=(0.5, 0.3, 0.2),
+        ),
+    )
+    det = Detector(cfg)
+
+    def failing_write(self, frame):
+        raise IOError("simulated encoder failure")
+
+    monkeypatch.setattr(VideoWriter, "write", failing_write)
+    monkeypatch.setattr(VideoWriter, "write_i420", failing_write)
+    with pytest.raises(IOError, match="simulated encoder failure"):
+        det.analyze_video_multiface(path, str(tmp_path / "out.mp4"))
+    monkeypatch.undo()
+    agg, per_track, _ = det.analyze_video_multiface(path)
+    assert 0 <= agg <= 100

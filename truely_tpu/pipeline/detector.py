@@ -222,6 +222,47 @@ def _upload_segments(seg_iter, depth: int = 2, sharding=None):
         yield q.popleft()
 
 
+class _AnnotateWorker:
+    """Annotate+encode on a dedicated worker thread.
+
+    x264/cv2 encoding releases the GIL, so the worker overlaps the main
+    thread's H2D-upload/fetch waits and the decode thread — on a
+    remote-attached TPU the tunnel wait is exactly when the host core is
+    otherwise idle.  All JAX calls stay on the caller's thread; the worker
+    is fed already-fetched numpy arrays via ``submit``.  A failure inside
+    ``fn`` (disk full, codec error) is captured, the queue drains, and the
+    first error is re-raised by the caller after ``shutdown()`` — promptly,
+    never a hang."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self.err: List[BaseException] = []
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self.err:
+                continue  # drain remaining items after a failure
+            try:
+                self._fn(*item)
+            except BaseException as e:  # propagate to the caller
+                self.err.append(e)
+
+    def submit(self, *item):
+        self._q.put(item)
+
+    def shutdown(self):
+        """Flush and join.  Does NOT raise (safe inside ``finally``);
+        check ``err`` afterwards."""
+        self._q.put(None)
+        self._t.join()
+
+
 def _enable_compilation_cache() -> None:
     """Persistent compile cache: the unrolled 1080p cascade graph takes
     minutes to compile cold (remote-compile TPU toolchain), seconds warm."""
@@ -538,39 +579,15 @@ class Detector:
             step = (
                 self._ensure_yuv_step() if reader.yuv_active else self._step
             )
-            # With an output video, annotate+encode runs on its own worker
-            # thread: x264 (GIL-released) then overlaps the main thread's
-            # H2D-upload/fetch waits and the decode thread — on a remote-
-            # attached TPU the tunnel wait is exactly when the host core is
-            # otherwise idle.  All JAX calls stay on the main thread; the
-            # worker gets already-fetched numpy arrays.  Score-only runs
-            # keep the single-threaded path (the host work is trivial).
-            work_q: "queue.Queue" = queue.Queue(maxsize=2)
-            werr: List[BaseException] = []
-
-            def writer_worker():
-                while True:
-                    item = work_q.get()
-                    if item is None:
-                        return
-                    if werr:
-                        continue  # drain remaining items after a failure
-                    try:
-                        finish_segment(*item)
-                    except BaseException as e:  # propagate to the caller
-                        werr.append(e)
-
-            wt = (
-                threading.Thread(target=writer_worker, daemon=True)
-                if writer is not None
-                else None
-            )
-            if wt is not None:
-                wt.start()
+            # With an output video, annotate+encode runs on a worker thread
+            # (_AnnotateWorker) so x264 overlaps the tunnel waits.  Score-
+            # only runs keep the single-threaded path (the host work is
+            # trivial).
+            wt = _AnnotateWorker(finish_segment) if writer is not None else None
 
             def emit(seg, fetched):
                 if wt is not None:
-                    work_q.put((seg, fetched))
+                    wt.submit(seg, fetched)
                 else:
                     finish_segment(seg, fetched)
 
@@ -599,12 +616,11 @@ class Detector:
                     emit(seg0, fetch_results(out0, res0))
             finally:
                 if wt is not None:
-                    work_q.put(None)
-                    wt.join()
+                    wt.shutdown()
                 if writer:
                     writer.close()
-            if werr:
-                raise werr[0]
+            if wt is not None and wt.err:
+                raise wt.err[0]
 
         score = int(
             self._score(
@@ -800,7 +816,52 @@ class Detector:
             mstep = (
                 self._ensure_mstep_yuv() if reader.yuv_active else self._mstep
             )
+
+            def finish_segment(seg, fetched):
+                t_boxes, t_upd, t_flag = fetched
+                ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
+                for gi, frame in zip(seg.frame_indices, seg.frames):
+                    k = ann.get(gi)
+                    drawn = k is not None and any(
+                        bool(t_upd[k, t]) for t in range(cfg.max_tracks)
+                    )
+                    if not drawn and seg.frames_i420:
+                        # untouched frames re-encode straight from the
+                        # decoded I420 planes (no colorspace round trip)
+                        writer.write_i420(frame)
+                        continue
+                    px = (
+                        i420_to_bgr_host(frame, rgb=not cfg.reference_compat)
+                        if seg.frames_i420
+                        else frame
+                    )
+                    if drawn:
+                        for t in range(cfg.max_tracks):
+                            if t_upd[k, t]:
+                                annotate_frame(
+                                    px, t_boxes[k, t],
+                                    flagged=bool(t_flag[k, t]),
+                                    frame_index=gi,
+                                    rgb=not cfg.reference_compat,
+                                )
+                    # cv2 encodes BGR; corrected mode decodes RGB.
+                    writer.write(
+                        px if cfg.reference_compat
+                        else np.ascontiguousarray(px[..., ::-1])
+                    )
+
+            # Same overlap structure as analyze_video: a one-deep pipeline
+            # (device works on segment N while the host fetches N-1) feeding
+            # an encode worker thread.
+            wt = _AnnotateWorker(finish_segment) if writer is not None else None
+
+            def fetch(outs):
+                return jax.device_get(
+                    (outs.track_box, outs.track_updated, outs.track_flagged)
+                )
+
             try:
+                in_flight = None
                 for seg, dev_frames in _upload_segments(
                     reader.segments(interval, cfg.frame_batch),
                     sharding=self._frames_sharding,
@@ -810,44 +871,22 @@ class Detector:
                         state, boxes, valid, emb, jnp.int32(seg.n_valid)
                     )
                     frame_count += seg.n_frames
-                    if writer is None:
+                    if wt is None:
                         continue
-                    t_boxes, t_upd, t_flag = jax.device_get(
-                        (outs.track_box, outs.track_updated, outs.track_flagged)
-                    )
-                    ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
-                    for gi, frame in zip(seg.frame_indices, seg.frames):
-                        k = ann.get(gi)
-                        drawn = k is not None and any(
-                            bool(t_upd[k, t]) for t in range(cfg.max_tracks)
-                        )
-                        if not drawn and seg.frames_i420:
-                            # untouched frames re-encode straight from the
-                            # decoded I420 planes (no colorspace round trip)
-                            writer.write_i420(frame)
-                            continue
-                        px = (
-                            i420_to_bgr_host(frame, rgb=not cfg.reference_compat)
-                            if seg.frames_i420
-                            else frame
-                        )
-                        if drawn:
-                            for t in range(cfg.max_tracks):
-                                if t_upd[k, t]:
-                                    annotate_frame(
-                                        px, t_boxes[k, t],
-                                        flagged=bool(t_flag[k, t]),
-                                        frame_index=gi,
-                                        rgb=not cfg.reference_compat,
-                                    )
-                        # cv2 encodes BGR; corrected mode decodes RGB.
-                        writer.write(
-                            px if cfg.reference_compat
-                            else np.ascontiguousarray(px[..., ::-1])
-                        )
+                    if in_flight is not None:
+                        seg0, outs0 = in_flight
+                        wt.submit(seg0, fetch(outs0))
+                    in_flight = (seg, outs)
+                if wt is not None and in_flight is not None:
+                    seg0, outs0 = in_flight
+                    wt.submit(seg0, fetch(outs0))
             finally:
+                if wt is not None:
+                    wt.shutdown()
                 if writer:
                     writer.close()
+            if wt is not None and wt.err:
+                raise wt.err[0]
         per_track = np.asarray(
             self._track_scores(state, jnp.int32(frame_count), jnp.int32(meta.fps))
         )
