@@ -80,6 +80,42 @@ def test_i420_to_bgr_extreme_values():
         assert (ours == np.asarray([b, g, r], np.uint8)).all(), (y0, u0, v0)
 
 
+def test_pallas_kernel_matches_xla_exactly():
+    """The fused Pallas kernel (interpret mode on CPU; the same kernel the
+    TPU compiles) is bit-identical to the XLA formulation, including
+    masked edge blocks (H not a multiple of the 64-row strip) and both
+    channel orders."""
+    from truely_tpu.ops.yuv import i420_to_bgr_pallas, pallas_eligible
+
+    rng = np.random.default_rng(17)
+    for w, h in [(128, 36), (256, 80), (128, 64)]:
+        packed = rng.integers(0, 256, (2, h * 3 // 2, w), dtype=np.uint8)
+        assert pallas_eligible(packed.shape)
+        for rgb in (False, True):
+            ref = np.asarray(i420_to_bgr(packed, rgb=rgb))
+            got = np.asarray(
+                i420_to_bgr_pallas(jnp.asarray(packed), rgb=rgb,
+                                   interpret=True)
+            )
+            np.testing.assert_array_equal(got, ref, err_msg=f"{w}x{h} {rgb}")
+
+
+def test_pallas_eligibility_gate():
+    from truely_tpu.ops.yuv import i420_convert, pallas_eligible
+
+    assert pallas_eligible((4, 1620, 1920))   # 1080p
+    assert pallas_eligible((4, 540, 640))     # 360p
+    assert not pallas_eligible((4, 54, 96))   # width not lane-aligned
+    assert not pallas_eligible((4, 55, 128))  # not an I420 height
+    # dispatch on CPU always takes the XLA path — identical results
+    rng = np.random.default_rng(23)
+    packed = rng.integers(0, 256, (2, 24, 128), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(i420_convert(packed, use_pallas=True)),
+        np.asarray(i420_to_bgr(packed)),
+    )
+
+
 def test_rgb_mode_is_channel_reversal():
     rng = np.random.default_rng(3)
     flat = rng.integers(0, 256, 32 * 16 * 3 // 2, dtype=np.uint8)

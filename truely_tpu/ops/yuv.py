@@ -31,6 +31,9 @@ exact.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 # Fixed-point (m, b) with out = (m*x + b) >> 16, learned exactly from cv2.
@@ -90,3 +93,124 @@ def i420_to_bgr(packed: jnp.ndarray, *, rgb: bool = False) -> jnp.ndarray:
     bb, gg, rr = chan(tb), chan(tg), chan(tr)
     chans = (rr, gg, bb) if rgb else (bb, gg, rr)
     return jnp.stack(chans, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused variant
+#
+# The XLA formulation above is bandwidth-bound on its own intermediates: the
+# 2×2 chroma-upsample broadcast-reshapes act as fusion barriers, so XLA
+# materializes the int16 luma ramp, the three upsampled chroma terms, and the
+# final interleaved stack at (B, H, W) scale (~18 ms/step at 1080p b128).
+# The Pallas kernel below does the affine + chroma row-replication + clip in
+# one VMEM pass per row strip, writing a channel-planar (B, 3, H, W) output
+# whose tiled minor dims are (H, W) — measured 13.0-13.2 ms/step at 1080p
+# b128 vs 17.4-17.7 for XLA in the same windows, bit-exact (the trailing
+# transpose back to interleaved is fused by XLA and ~free).
+#
+# Mosaic constraints that shaped it (probe_yuv_pallas, 2026-08-19):
+#   - jnp.repeat on the LANE axis does not compile (HTTP 500); on the
+#     sublane axis it compiles and is elementwise.  pltpu.repeat is
+#     tile-repeat, not elementwise.  => chroma is lane-doubled OUTSIDE the
+#     kernel (a cheap u8 XLA pass at half resolution); rows double inside.
+#   - int16→uint8 casts do not compile; int32-clip→uint8 does.  All
+#     in-kernel arithmetic stays int32 (VMEM-resident, so the int16
+#     HBM-narrowing trick the XLA path needs is irrelevant here).
+#   - An interleaved (.., H, W, 3) output block puts 3 in the lane dim
+#     (500s); a (.., 3, H, W) block keeps channel as an outer dim.
+
+# Luma rows per grid block: % 16 == 0 so the half-height chroma block keeps
+# the (8, 128) sublane rule; edge blocks are masked by Pallas (1080 = 16×64
+# + 56).  64 measured marginally ahead of 80/96 at 1080p.
+_PALLAS_BLOCK_ROWS = 64
+
+
+def pallas_eligible(shape) -> bool:
+    """Shapes the fused kernel accepts: even-height I420 with lane-aligned
+    width.  Everything else falls back to the XLA path (same function)."""
+    if len(shape) != 3:
+        return False
+    _b, h32, w = shape
+    return h32 % 3 == 0 and (h32 * 2 // 3) % 2 == 0 and w % 128 == 0 and w > 0
+
+
+def _i420_kernel(y_ref, u_ref, v_ref, o_ref, *, rgb):
+    y = y_ref[0].astype(jnp.int32)
+    q = (y * _LUMA[0] + _LUMA[1]) >> 16               # (HT, W)
+    uu = u_ref[0].astype(jnp.int32)                   # (HT/2, W) lane-doubled
+    vv = v_ref[0].astype(jnp.int32)
+
+    def up(t):  # row-double (elementwise repeat on the sublane axis)
+        return jnp.repeat(t, 2, axis=0)
+
+    tb = up((uu * _B_U[0] + _B_U[1]) >> 16)
+    tg = up(((uu * _G_U[0] + _G_U[1]) >> 16) + ((vv * _G_V[0] + _G_V[1]) >> 16))
+    tr = up((vv * _R_V[0] + _R_V[1]) >> 16)
+
+    def chan(t):
+        return jnp.clip(q + t, 0, 255).astype(jnp.uint8)
+
+    first, last = (tr, tb) if rgb else (tb, tr)
+    o_ref[0, 0] = chan(first)
+    o_ref[0, 1] = chan(tg)
+    o_ref[0, 2] = chan(last)
+
+
+@functools.partial(jax.jit, static_argnames=("rgb", "interpret"))
+def i420_to_bgr_pallas(
+    packed: jnp.ndarray, *, rgb: bool = False, interpret: bool = False
+) -> jnp.ndarray:
+    """``i420_to_bgr`` as a fused Pallas row-strip kernel (bit-identical).
+
+    TPU-only in production (``interpret=True`` runs the same kernel through
+    the Pallas interpreter for CPU tests).  Callers gate on
+    ``pallas_eligible(packed.shape)`` and backend; shapes outside the gate
+    must use :func:`i420_to_bgr`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h32, w = packed.shape
+    h = h32 * 2 // 3
+    ht = min(_PALLAS_BLOCK_ROWS, -(-h // 16) * 16)
+
+    y = packed[:, :h, :]
+    u = packed[:, h : h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = packed[:, h + h // 4 :, :].reshape(b, h // 2, w // 2)
+    # Lane-doubling (the axis Mosaic can't repeat on) happens here as a
+    # cheap half-resolution u8 XLA op; rows double inside the kernel.
+    u2 = jnp.repeat(u, 2, axis=2)
+    v2 = jnp.repeat(v, 2, axis=2)
+
+    grid = (b, pl.cdiv(h, ht))
+    planar = pl.pallas_call(
+        functools.partial(_i420_kernel, rgb=rgb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ht, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht // 2, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht // 2, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, ht, w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.uint8),
+        interpret=interpret,
+    )(y, u2, v2)
+    return jnp.transpose(planar, (0, 2, 3, 1))
+
+
+def i420_convert(packed: jnp.ndarray, *, rgb: bool = False,
+                 use_pallas: bool = True) -> jnp.ndarray:
+    """Backend-aware dispatch: the fused Pallas kernel on TPU for eligible
+    shapes, the XLA formulation otherwise.  Both are bit-identical, so the
+    choice is purely a performance decision."""
+    if (
+        use_pallas
+        and pallas_eligible(packed.shape)
+        and jax.default_backend() == "tpu"
+    ):
+        return i420_to_bgr_pallas(packed, rgb=rgb)
+    return i420_to_bgr(packed, rgb=rgb)

@@ -141,17 +141,19 @@ def _frame_step_yuv(params: DetectorParams, packed: jax.Array,
     cv2/swscale colorspace conversion (ops/yuv.py) runs on-device as the
     first fused stage, so outputs are bit-identical to the BGR-upload path
     while the host→device transfer moves half the bytes."""
-    from truely_tpu.ops.yuv import i420_to_bgr
+    from truely_tpu.ops.yuv import i420_convert
 
-    frames = i420_to_bgr(packed, rgb=not cfg.reference_compat)
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
     return _frame_step(params, frames, cfg, compute_dtype)
 
 
 def _multiface_step_yuv(params: DetectorParams, packed: jax.Array,
                         cfg: DetectorConfig, compute_dtype):
-    from truely_tpu.ops.yuv import i420_to_bgr
+    from truely_tpu.ops.yuv import i420_convert
 
-    frames = i420_to_bgr(packed, rgb=not cfg.reference_compat)
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
     return _multiface_step(params, frames, cfg, compute_dtype)
 
 
