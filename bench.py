@@ -119,11 +119,32 @@ def _emit(name, video_fps, *, baseline=None):
     )
 
 
+def _bucket_targets():
+    """Per-bucket video-fps targets from BASELINE.json (north-star law:
+    >= 900 video fps/chip at every resolution bucket), so every emitted
+    line has a pass/fail vs_baseline instead of null."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.json")
+    targets = {"360p": 900.0, "720p": 900.0, "1080p": 900.0}
+    try:
+        with open(path) as f:
+            raw = json.load(f).get("bucket_targets", {})
+        targets.update(
+            {k: float(v) for k, v in raw.items() if k != "note"}
+        )
+    except Exception:
+        pass
+    return targets
+
+
 def main():
     import jax
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    baseline = 900.0  # north-star frames/sec/chip, defined AT 1080p
+    targets = _bucket_targets()
+    baseline = targets["1080p"]  # north-star frames/sec/chip at 1080p
 
     explicit = any(
         f in sys.argv for f in ("--res", "--batch", "--crop-quant",
@@ -131,7 +152,7 @@ def main():
     )
     if not on_tpu:  # keep the script runnable anywhere (CI, dev boxes)
         fps = _measure(216, 384, 4, 4, False, 1, 3)
-        _emit("216p", fps, baseline=baseline)
+        _emit("216p", fps, baseline=baseline)  # vs the 1080p law: CPU-only
         return 0
 
     # batch 128 is the measured throughput knee at 1080p (b64 536 /
@@ -150,12 +171,13 @@ def main():
         exact = "--exact-pyramid" in sys.argv
         fps = _measure(height, width, batch, quant, exact, 2, 7)
         name = f"{height}p" + ("_exact" if (exact and quant == 1) else "")
-        _emit(name, fps, baseline=baseline if height == 1080 else None)
+        _emit(name, fps, baseline=targets.get(f"{height}p", baseline))
         return 0
 
     # Default sweep: secondary lines first, the production-1080p headline
-    # LAST (the driver parses the final JSON line).  The 900 fps target is
-    # a 1080p number, so only 1080p lines get vs_baseline.
+    # LAST (the driver parses the final JSON line).  Every bucket has a
+    # target (BASELINE.json bucket_targets, north-star law), so every line
+    # is a pass/fail.
     for name, h, w, quant, exact, yuv in (
         ("360p", 360, 640, 4, False, False),
         ("720p", 720, 1280, 4, False, False),
@@ -164,7 +186,7 @@ def main():
     ):
         try:
             fps = _measure(h, w, 128, quant, exact, 2, 7, yuv=yuv)
-            _emit(name, fps, baseline=baseline if h == 1080 else None)
+            _emit(name, fps, baseline=targets.get(f"{h}p", baseline))
         except Exception as e:  # a secondary config must not eat the headline
             print(f"bench config {name} failed: {e}", file=sys.stderr)
     fps = _measure(1080, 1920, 128, 4, False, 2, 7)

@@ -231,11 +231,25 @@ PyObject* ve_write_i420(PyObject*, PyObject* args) {
     }
     const int w = e->ctx->width, h = e->ctx->height;
     const Py_ssize_t need = (Py_ssize_t)w * h * 3 / 2;
-    if (src.len < need) {
+    // Exact-size check (not just >=): a wrong-shaped but large-enough
+    // buffer would otherwise be silently reinterpreted and encode garbage.
+    if (src.len != need) {
         PyBuffer_Release(&src);
         PyErr_Format(PyExc_ValueError,
-                     "videoenc: I420 picture too small (%zd < %zd)",
-                     src.len, need);
+                     "videoenc: I420 picture must be exactly %zd bytes "
+                     "(H*3/2 x W = %d x %d packed layout), got %zd",
+                     need, h * 3 / 2, w, src.len);
+        return nullptr;
+    }
+    // When the buffer carries shape info (numpy arrays do), also pin the
+    // packed-row layout: (H*3/2, W) — rejects a right-sized buffer whose
+    // width/height are swapped or mismatched.
+    if (src.ndim == 2 && src.shape != nullptr &&
+        (src.shape[0] != (Py_ssize_t)h * 3 / 2 || src.shape[1] != w)) {
+        PyErr_Format(PyExc_ValueError,
+                     "videoenc: I420 picture shape (%zd, %zd) != (%d, %d)",
+                     src.shape[0], src.shape[1], h * 3 / 2, w);
+        PyBuffer_Release(&src);
         return nullptr;
     }
 

@@ -76,7 +76,11 @@ def _probe_yuv(path: str, meta: "VideoMeta"):
             and w == meta.width
             and h == meta.height
             and w % 2 == 0
-            and h % 2 == 0
+            # H % 4, not just % 2: the packed-I420 (H*3//2, W) layout only
+            # tiles the chroma planes into whole rows when H/4 is integral
+            # (ops/yuv.i420_to_bgr's reshape requires it); e.g. a valid
+            # 480x270 yuv420p stream must take the cv2 BGR path.
+            and h % 4 == 0
             and space in _YUV_OK_SPACES
             and rng in _YUV_OK_RANGES
         ):

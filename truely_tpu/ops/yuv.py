@@ -54,7 +54,9 @@ def i420_to_bgr(packed: jnp.ndarray, *, rgb: bool = False) -> jnp.ndarray:
 
     ``packed``: (B, H*3//2, W) uint8 — the I420 memory layout cv2 itself
     uses (Y as H rows of W, then U as H/4 rows of W holding the H/2×W/2
-    plane, then V likewise).  H and W must be even.  Returns (B, H, W, 3)
+    plane, then V likewise).  W must be even and H a multiple of 4 (the
+    chroma planes only tile into whole packed rows when H/4 is an integer;
+    media/decode gates ingestion on the same condition).  Returns (B, H, W, 3)
     uint8, byte-identical to cv2's BGR decode of the same stream (``rgb=True``
     reverses channel order, matching corrected-mode's host-side flip).
     """
@@ -126,12 +128,14 @@ _PALLAS_BLOCK_ROWS = 64
 
 
 def pallas_eligible(shape) -> bool:
-    """Shapes the fused kernel accepts: even-height I420 with lane-aligned
-    width.  Everything else falls back to the XLA path (same function)."""
+    """Shapes the fused kernel accepts: I420 with H % 4 == 0 (both this
+    kernel and the XLA path unpack the chroma planes by slicing whole
+    packed rows, which needs an integral H/4) and lane-aligned width.
+    Everything else falls back to the XLA path (same function)."""
     if len(shape) != 3:
         return False
     _b, h32, w = shape
-    return h32 % 3 == 0 and (h32 * 2 // 3) % 2 == 0 and w % 128 == 0 and w > 0
+    return h32 % 3 == 0 and (h32 * 2 // 3) % 4 == 0 and w % 128 == 0 and w > 0
 
 
 def _i420_kernel(y_ref, u_ref, v_ref, o_ref, *, rgb):

@@ -350,6 +350,11 @@ class Detector:
                 else {"in_shardings": (None, self._frames_sharding)}
             ),
         )
+        # Single source of truth for the embedding width (the reference's
+        # 512-d FaceNet output, server/model.py:59) — derived from the
+        # loaded weights so every temporal-state constructor stays in sync
+        # with whatever checkpoint is actually installed.
+        self.embedding_dim = int(facenet["last_linear"]["w"].shape[-1])
         self._temporal = jax.jit(partial(_temporal_step, cfg=self.config))
         self._score = jax.jit(
             partial(
@@ -369,7 +374,7 @@ class Detector:
         step + temporal fold."""
         b = self.config.frame_batch
         frames = jnp.zeros((b, height, width, 3), jnp.uint8)
-        if self.config.yuv_ingest and height % 2 == 0 and width % 2 == 0:
+        if self.config.yuv_ingest and height % 4 == 0 and width % 2 == 0:
             # Also pre-compile the packed-I420 step (the default ingestion
             # for eligible streams) — but only when the native decoder is
             # actually present, so rigs without it don't pay a dead compile.
@@ -490,7 +495,7 @@ class Detector:
                 if output_path
                 else None
             )
-            state = init_temporal_state(512)
+            state = init_temporal_state(self.embedding_dim)
             records: List[FrameRecord] = []
             frame_count = 0
             total_processed = 0
@@ -602,6 +607,11 @@ class Detector:
                     reader.segments(interval, cfg.frame_batch),
                     sharding=self._frames_sharding,
                 ):
+                    # Surface encoder failures (disk full, codec error)
+                    # promptly: stop decoding/uploading the rest of the
+                    # video as soon as the writer thread has failed.
+                    if wt is not None and wt.err:
+                        break
                     timings["decode"] += time.perf_counter() - t0
                     out = step(self.params, dev_frames)
                     res = self._temporal(
@@ -658,7 +668,7 @@ class Detector:
         interval = cfg.sample_interval(fps)
         n = frames.shape[0]
         sampled_idx = list(range(0, n, interval))
-        state = init_temporal_state(512)
+        state = init_temporal_state(self.embedding_dim)
         records: List[FrameRecord] = []
         flagged_total = 0
         b = cfg.frame_batch
@@ -769,7 +779,7 @@ class Detector:
         interval = cfg.sample_interval(fps)
         n = frames.shape[0]
         sampled_idx = list(range(0, n, interval))
-        state = init_track_state(cfg.max_tracks, 512)
+        state = init_track_state(cfg.max_tracks, self.embedding_dim)
         b = cfg.frame_batch
         for s in range(0, len(sampled_idx), b):
             chunk = sampled_idx[s : s + b]
@@ -813,7 +823,7 @@ class Detector:
                 if output_path
                 else None
             )
-            state = init_track_state(cfg.max_tracks, 512)
+            state = init_track_state(cfg.max_tracks, self.embedding_dim)
             frame_count = 0
             mstep = (
                 self._ensure_mstep_yuv() if reader.yuv_active else self._mstep
@@ -868,6 +878,10 @@ class Detector:
                     reader.segments(interval, cfg.frame_batch),
                     sharding=self._frames_sharding,
                 ):
+                    # Same prompt-failure contract as analyze_video: a dead
+                    # writer thread stops the decode/upload loop immediately.
+                    if wt is not None and wt.err:
+                        break
                     boxes, valid, emb = mstep(self.params, dev_frames)
                     state, outs = self._track_fold(
                         state, boxes, valid, emb, jnp.int32(seg.n_valid)

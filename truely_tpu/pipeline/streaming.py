@@ -105,8 +105,11 @@ class StreamScheduler:
         self._queues: List[Deque[Tuple[int, np.ndarray]]] = [
             collections.deque() for _ in range(n_streams)
         ]
+        # Embedding width comes from the detector's loaded weights (its
+        # single source of truth), never re-hardcoded here.
         self._states = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x] * n_streams), init_temporal_state(512)
+            lambda x: jnp.stack([x] * n_streams),
+            init_temporal_state(detector.embedding_dim),
         )
         self.stats: Dict[int, StreamStats] = {
             i: StreamStats() for i in range(n_streams)
