@@ -58,11 +58,38 @@ def _chain_time(det, frames, n_steps, batch):
     return time.perf_counter() - t0
 
 
+def _chain_time_propagate(det, frames, n_steps, batch, k):
+    """Wall time of n_steps chained track-propagated steps at
+    detect_interval=k: every k-th iteration re-runs the full cascade on a
+    keyframe batch (1 seed step serves k refine segments, exactly the
+    production cadence when n_steps is a multiple of k), every iteration
+    runs the seeded refine step, and the temporal chain forces execution."""
+    import jax.numpy as jnp
+
+    from truely_tpu.ops.temporal import init_temporal_state
+
+    refine = det._ensure_propagate_step(False)
+    bk = batch // k
+    state = init_temporal_state(512)
+    seed = None
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        if i % k == 0:
+            seed = det.step_device(frames)
+        out = refine(det.params, frames, seed.box[:bk], seed.has_face[:bk])
+        res = det._temporal(out.embedding, out.has_face, jnp.int32(batch), state)
+        state = res.state
+    int(state.counter)  # scalar fetch: forces the whole chain
+    return time.perf_counter() - t0
+
+
 def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
-             yuv=False):
+             yuv=False, detect_interval=1):
     """Video frames/sec/chip for one config (slope-timed, best of 3).
     ``yuv=True`` feeds packed I420 through the production-ingestion step
-    (on-device exact colorspace conversion included in the timing)."""
+    (on-device exact colorspace conversion included in the timing).
+    ``detect_interval=k>1`` measures track-propagated mode (full cascade
+    amortized over k segments + per-segment refine)."""
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +99,7 @@ def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
     fps_video = 30
     config = DetectorConfig(
         frame_batch=batch,
+        detect_interval=detect_interval,
         mtcnn=MTCNNConfig(
             stage_crop_quant=quant, pyramid_cascade=not exact_pyramid
         ),
@@ -90,6 +118,19 @@ def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
             0, 256, (batch, height, width, 3), dtype=np.uint8
         )
     frames = jax.device_put(jnp.asarray(frames_host))
+
+    if detect_interval > 1:
+        k = detect_interval
+        n_lo, n_hi = k, 3 * k  # multiples of k => exact 1-seed-per-k cadence
+        _chain_time_propagate(det, frames, k, batch, k)
+        _chain_time_propagate(det, frames, k, batch, k)
+        per_step = min(
+            (_chain_time_propagate(det, frames, n_hi, batch, k)
+             - _chain_time_propagate(det, frames, n_lo, batch, k))
+            / (n_hi - n_lo)
+            for _ in range(3)
+        )
+        return batch / per_step * interval
 
     # Warmup / compile (both executables + the scalar-fetch path).
     _chain_time(det, frames, 1, batch)
@@ -148,7 +189,7 @@ def main():
 
     explicit = any(
         f in sys.argv for f in ("--res", "--batch", "--crop-quant",
-                                "--exact-pyramid")
+                                "--exact-pyramid", "--detect-interval")
     )
     if not on_tpu:  # keep the script runnable anywhere (CI, dev boxes)
         fps = _measure(216, 384, 4, 4, False, 1, 3)
@@ -168,9 +209,15 @@ def main():
             )
         if "--crop-quant" in sys.argv:  # stage-crop box grid (1 = exact)
             quant = int(sys.argv[sys.argv.index("--crop-quant") + 1])
+        k = 1
+        if "--detect-interval" in sys.argv:  # track-propagated mode
+            k = int(sys.argv[sys.argv.index("--detect-interval") + 1])
         exact = "--exact-pyramid" in sys.argv
-        fps = _measure(height, width, batch, quant, exact, 2, 7)
+        fps = _measure(height, width, batch, quant, exact, 2, 7,
+                       detect_interval=k)
         name = f"{height}p" + ("_exact" if (exact and quant == 1) else "")
+        if k > 1:
+            name += f"_propagate_k{k}"
         _emit(name, fps, baseline=targets.get(f"{height}p", baseline))
         return 0
 

@@ -27,12 +27,28 @@ def cmd_analyze(args) -> int:
 
     from truely_tpu.config import MTCNNConfig
 
+    if args.multi_face and args.detect_interval > 1:
+        print(
+            "error: --detect-interval applies to single-face analysis only "
+            "(the multi-face track path runs full detection every frame)",
+            file=sys.stderr,
+        )
+        return 1
+    if args.batch % max(1, args.detect_interval):
+        print(
+            f"error: --batch {args.batch} must be divisible by "
+            f"--detect-interval {args.detect_interval}",
+            file=sys.stderr,
+        )
+        return 1
     config = DetectorConfig(
         frame_batch=args.batch,
         reference_compat=not args.corrected,
         use_pallas_crop=args.pallas_crop,
         multi_face=args.multi_face,
         yuv_ingest=not args.no_yuv,
+        detect_interval=args.detect_interval,
+        propagate_fallback=not args.no_propagate_fallback,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -273,6 +289,16 @@ def main(argv=None) -> int:
                    help="score every tracked face (aggregate = max over "
                         "tracks) instead of the reference's first face "
                         "only; prints per-track scores")
+    p.add_argument("--detect-interval", type=int, default=1,
+                   help="track-propagated detection: run the full pyramid+"
+                        "P-Net cascade only every K-th sampled frame and "
+                        "refine the frames between from the keyframe box "
+                        "through R-Net/O-Net (1 = off, bit-identical to "
+                        "full detection; batch must divide by K)")
+    p.add_argument("--no-propagate-fallback", action="store_true",
+                   help="with --detect-interval: never re-run full "
+                        "detection on segments whose refinement collapsed "
+                        "(max throughput; faces re-acquire at keyframes)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard each frame batch over the first N devices "
                         "(data-parallel mesh); batch must divide by N")

@@ -147,6 +147,30 @@ class DetectorConfig:
     # to the XLA path on CPU and on widths not lane-aligned to 128).
     yuv_pallas: bool = True
 
+    # Track-propagated detection (production throughput lever, default
+    # off): run the full pyramid + P-Net cascade only on every K-th sampled
+    # frame ("keyframes"); between keyframes, seed R-Net/O-Net refinement
+    # from the most recent keyframe's box (pipeline/mtcnn.refine_faces) —
+    # the unchanged stage-2/3 machinery re-scores and can reject the
+    # propagated box, and the embedding/temporal semantics are untouched.
+    # The reference re-detects from scratch every sampled frame
+    # (server/model.py:47); on TPU ~2/3 of the frame step re-discovers a
+    # box the previous frame already proved.  1 = off (every sampled frame
+    # is a keyframe — bit-identical to full detection, tested).  Semantics
+    # at K>1: a face appearing (or moving beyond ~0.5 box-sides) mid-
+    # interval is picked up at the next keyframe, <= (K-1) samples late;
+    # measured decision impact is in the drift table (PERFORMANCE.md).
+    # Keyframes batch across K segments for lane efficiency, so
+    # ``frame_batch`` must be divisible by this.  Parity/golden paths never
+    # set it.
+    detect_interval: int = 1
+    # With detect_interval > 1: re-run full detection on any segment whose
+    # refinement lost more than half of its seeded frames (tracking
+    # collapse — fast motion, scene cut).  Costs one host sync per segment
+    # (~round-trip latency, negligible on PCIe hosts); disable for maximum
+    # throughput where the K-sample re-acquisition latency is acceptable.
+    propagate_fallback: bool = True
+
     def sample_interval(self, fps: int) -> int:
         return max(1, int(fps / self.sample_hz))
 

@@ -60,16 +60,31 @@ def shard_frame_step(
     *,
     data_axis: str = "data",
     yuv: bool = False,
+    propagate: bool = False,
 ):
     """jit the per-batch detector step with the frame axis sharded over
     ``data_axis``.  Returns fn(params, frames) with frames (B, H, W, 3) —
     or packed I420 (B, H*3//2, W) with ``yuv=True`` (the on-device exact
     conversion runs shard-local; no extra collectives) — and B divisible
-    by the data-axis size."""
-    from truely_tpu.pipeline.detector import _frame_step_yuv
+    by the data-axis size.  ``propagate=True`` returns the track-propagated
+    refinement step fn(params, frames, seed_boxes, seed_valid) instead
+    (config.detect_interval > 1): frames stay DP-sharded, the tiny (B/K,)
+    seeds replicate, and XLA selects each shard's slice of the broadcast."""
+    from truely_tpu.pipeline.detector import (
+        _frame_step_propagate, _frame_step_propagate_yuv, _frame_step_yuv,
+    )
 
     config = config or DetectorConfig()
     compute_dtype = jnp.dtype(config.compute_dtype)
+    if propagate:
+        fn = partial(
+            _frame_step_propagate_yuv if yuv else _frame_step_propagate,
+            cfg=config, compute_dtype=compute_dtype,
+        )
+        frames_sharding = NamedSharding(mesh, P(data_axis))
+        return jax.jit(
+            fn, in_shardings=(None, frames_sharding, None, None)
+        )
     fn = partial(
         _frame_step_yuv if yuv else _frame_step,
         cfg=config, compute_dtype=compute_dtype,

@@ -44,7 +44,9 @@ from truely_tpu.ops.resize import crop_resize_bilinear
 from truely_tpu.ops.temporal import (
     init_temporal_state, temporal_consistency, weighted_score,
 )
-from truely_tpu.pipeline.mtcnn import MTCNNParams, detect_faces, select_primary_face  # noqa: E501
+from truely_tpu.pipeline.mtcnn import (  # noqa: E501
+    MTCNNParams, detect_faces, refine_faces, select_primary_face,
+)
 
 
 class DetectorParams(NamedTuple):
@@ -102,15 +104,13 @@ def _crop_fn(cfg: DetectorConfig):
     return crop_resize_bilinear
 
 
-def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
+def _embed_tail(params: DetectorParams, frames: jax.Array, box: jax.Array,
+                has_face: jax.Array, cfg: DetectorConfig,
                 compute_dtype) -> FrameOutputs:
+    """Shared per-frame tail after a box is known: reference crop semantics
+    (model.py:49-56: trunc to int, clamp to the frame, non-degenerate),
+    80x80 crop, normalization, FaceNet embedding + landmark head."""
     h, w = frames.shape[1], frames.shape[2]
-    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
-    box, _score, has_face = select_primary_face(
-        det, largest=cfg.mtcnn.select_largest
-    )
-    # Reference crop semantics (model.py:49-56): trunc to int, clamp to the
-    # frame, require a non-degenerate region.
     bi = box.astype(jnp.int32)
     x0 = jnp.maximum(bi[:, 0], 0)
     y0 = jnp.maximum(bi[:, 1], 0)
@@ -132,6 +132,51 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
     return FrameOutputs(
         box=box, crop_bounds=bounds, has_face=has_face,
         embedding=emb, landmarks68=lmk,
+    )
+
+
+def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
+                compute_dtype) -> FrameOutputs:
+    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+    box, _score, has_face = select_primary_face(
+        det, largest=cfg.mtcnn.select_largest
+    )
+    return _embed_tail(params, frames, box, has_face, cfg, compute_dtype)
+
+
+def _frame_step_propagate(params: DetectorParams, frames: jax.Array,
+                          seed_boxes: jax.Array, seed_valid: jax.Array,
+                          cfg: DetectorConfig, compute_dtype) -> FrameOutputs:
+    """Track-propagated frame step (cfg.detect_interval = K > 1): frames is
+    a chronological batch of B sampled frames whose every K-th frame is a
+    keyframe; ``seed_boxes``/``seed_valid`` hold the (B/K,) keyframe
+    detections from the full-cascade seed step.  Keyframes pass their seed
+    straight through (their seed IS their own full detection, so their
+    outputs are bit-identical to full-detection mode); the frames between
+    run seeded R-Net/O-Net refinement only (pipeline/mtcnn.refine_faces)."""
+    k = cfg.detect_interval
+    b = frames.shape[0]
+    sb = jnp.repeat(seed_boxes, k, axis=0)          # (B, 4)
+    sv = jnp.repeat(seed_valid, k, axis=0)          # (B,)
+    det = refine_faces(
+        params.mtcnn, frames, sb, sv, cfg.mtcnn, dtype=compute_dtype
+    )
+    box, _score, ok = select_primary_face(det, largest=cfg.mtcnn.select_largest)
+    is_kf = (jnp.arange(b) % k) == 0
+    box = jnp.where(is_kf[:, None], sb, box)
+    has_face = jnp.where(is_kf, sv, ok)
+    return _embed_tail(params, frames, box, has_face, cfg, compute_dtype)
+
+
+def _frame_step_propagate_yuv(params: DetectorParams, packed: jax.Array,
+                              seed_boxes: jax.Array, seed_valid: jax.Array,
+                              cfg: DetectorConfig, compute_dtype) -> FrameOutputs:
+    from truely_tpu.ops.yuv import i420_convert
+
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
+    return _frame_step_propagate(
+        params, frames, seed_boxes, seed_valid, cfg, compute_dtype
     )
 
 
@@ -305,6 +350,15 @@ class Detector:
         with a mesh and nothing else changes."""
         _enable_compilation_cache()
         self.config = config or DetectorConfig()
+        k = self.config.detect_interval
+        if k < 1:
+            raise ValueError(f"detect_interval must be >= 1, got {k}")
+        if k > 1 and self.config.frame_batch % k:
+            raise ValueError(
+                f"frame_batch ({self.config.frame_batch}) must be divisible "
+                f"by detect_interval ({k}) — keyframes batch across "
+                f"{k} segments at frame_batch/{k} per segment"
+            )
         self.mesh = mesh
         self._data_axis = data_axis
         self._frames_sharding = None
@@ -390,6 +444,15 @@ class Detector:
                     jax.block_until_ready(
                         self._ensure_yuv_step()(self.params, packed)
                     )
+                    if self.config.detect_interval > 1:
+                        bk = b // self.config.detect_interval
+                        jax.block_until_ready(
+                            self._ensure_propagate_step(True)(
+                                self.params, packed,
+                                jnp.zeros((bk, 4), jnp.float32),
+                                jnp.zeros((bk,), bool),
+                            )
+                        )
             except ImportError:
                 pass
         if self.config.multi_face:
@@ -405,6 +468,15 @@ class Detector:
             jax.block_until_ready((outs, scores))
             return
         out = self._step(self.params, frames)
+        if self.config.detect_interval > 1:
+            bk = b // self.config.detect_interval
+            jax.block_until_ready(
+                self._ensure_propagate_step(False)(
+                    self.params, frames,
+                    jnp.zeros((bk, 4), jnp.float32),
+                    jnp.zeros((bk,), bool),
+                )
+            )
         state = init_temporal_state(out.embedding.shape[-1])
         res = self._temporal(out.embedding, out.has_face, jnp.int32(b), state)
         score = self._score(
@@ -429,6 +501,93 @@ class Detector:
                 ),
             )
         return self._step_yuv
+
+    def _ensure_propagate_step(self, yuv: bool):
+        """Lazily-jitted track-propagated refinement step (compiled only
+        when detect_interval > 1 paths actually run)."""
+        attr = "_step_prop_yuv" if yuv else "_step_prop"
+        if not hasattr(self, attr):
+            fn = _frame_step_propagate_yuv if yuv else _frame_step_propagate
+            setattr(
+                self, attr,
+                jax.jit(
+                    partial(
+                        fn, cfg=self.config,
+                        compute_dtype=self._compute_dtype,
+                    ),
+                    **(
+                        {}
+                        if self.mesh is None
+                        # frames DP-sharded; the (B/K,) seeds are tiny and
+                        # replicated — XLA selects each shard's slice.
+                        else {
+                            "in_shardings": (
+                                None, self._frames_sharding, None, None
+                            )
+                        }
+                    ),
+                ),
+            )
+        return getattr(self, attr)
+
+    def _propagate_outputs(self, pair_iter, step, refine):
+        """Yield (segment, FrameOutputs) chronologically with full detection
+        only on keyframes (config.detect_interval = K > 1).
+
+        Orchestration: consume K uploaded segments per cycle; host-gather
+        their keyframes (every K-th sampled row) into ONE full-width batch
+        for the seed step — a (B/K)-frame cascade would lane-pad ~Kx, since
+        batch is the 128-lane minor dim (PERFORMANCE.md finding 6), so
+        keyframes batch ACROSS segments to keep stage 1 at full lane
+        efficiency.  Each segment then runs the cheap refinement step
+        seeded by its slice of the keyframe detections.  With
+        ``propagate_fallback``, a segment whose refinement lost most of its
+        seeded frames (tracking collapse) is re-run through full detection
+        — one small host sync per segment, device queue stays busy with the
+        following refines.
+        """
+        import itertools
+
+        cfg = self.config
+        k = cfg.detect_interval
+        b = cfg.frame_batch
+        bk = b // k
+        while True:
+            cycle = list(itertools.islice(pair_iter, k))
+            if not cycle:
+                return
+            kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
+            for j, (seg, _dev) in enumerate(cycle):
+                kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
+            seed = step(
+                self.params, jax.device_put(kf, self._frames_sharding)
+            )
+            sv_host = (
+                np.asarray(seed.has_face) if cfg.propagate_fallback else None
+            )
+            for j, (seg, dev) in enumerate(cycle):
+                sb = seed.box[j * bk : (j + 1) * bk]
+                sv = seed.has_face[j * bk : (j + 1) * bk]
+                out = refine(self.params, dev, sb, sv)
+                if cfg.propagate_fallback:
+                    hf = np.asarray(out.has_face[: seg.n_valid])
+                    seeded = np.repeat(
+                        sv_host[j * bk : (j + 1) * bk], k
+                    )[: seg.n_valid]
+                    n_seeded = int(seeded.sum())
+                    lost = int((seeded & ~hf).sum())
+                    if n_seeded and lost * 2 > n_seeded:
+                        out = step(self.params, dev)
+                yield seg, out
+
+    def _segment_outputs(self, pair_iter, step, yuv: bool):
+        """(segment, FrameOutputs) stream: plain per-segment full detection,
+        or the keyframe/refine orchestration when detect_interval > 1."""
+        if self.config.detect_interval > 1:
+            return self._propagate_outputs(
+                pair_iter, step, self._ensure_propagate_step(yuv)
+            )
+        return ((seg, step(self.params, dev)) for seg, dev in pair_iter)
 
     def sharded_step(self, mesh, data_axis: str = "data", yuv: bool = False):
         """Cached (step_fn, params, frames_sharding) for DP execution over
@@ -603,9 +762,12 @@ class Detector:
                 # works on segment N while the host annotates/encodes N-1.
                 in_flight = None
                 t0 = time.perf_counter()
-                for seg, dev_frames in _upload_segments(
+                pair_iter = _upload_segments(
                     reader.segments(interval, cfg.frame_batch),
                     sharding=self._frames_sharding,
+                )
+                for seg, out in self._segment_outputs(
+                    pair_iter, step, reader.yuv_active
                 ):
                     # Surface encoder failures (disk full, codec error)
                     # promptly: stop decoding/uploading the rest of the
@@ -613,7 +775,6 @@ class Detector:
                     if wt is not None and wt.err:
                         break
                     timings["decode"] += time.perf_counter() - t0
-                    out = step(self.params, dev_frames)
                     res = self._temporal(
                         out.embedding, out.has_face, jnp.int32(seg.n_valid), state
                     )
@@ -664,6 +825,8 @@ class Detector:
     ) -> VideoAnalysis:
         """Analyze an in-memory (N, H, W, 3) uint8 frame array (no file IO).
         Frames are sampled/batched exactly like analyze_video."""
+        from types import SimpleNamespace
+
         cfg = self.config
         interval = cfg.sample_interval(fps)
         n = frames.shape[0]
@@ -672,13 +835,19 @@ class Detector:
         records: List[FrameRecord] = []
         flagged_total = 0
         b = cfg.frame_batch
-        for s in range(0, len(sampled_idx), b):
-            chunk = sampled_idx[s : s + b]
-            stack = np.zeros((b, *frames.shape[1:]), np.uint8)
-            stack[: len(chunk)] = frames[chunk]
-            out = self._step(
-                self.params, jax.device_put(stack, self._frames_sharding)
-            )
+
+        def pairs():
+            for s in range(0, len(sampled_idx), b):
+                chunk = sampled_idx[s : s + b]
+                stack = np.zeros((b, *frames.shape[1:]), np.uint8)
+                stack[: len(chunk)] = frames[chunk]
+                seg = SimpleNamespace(
+                    sampled=stack, n_valid=len(chunk), sampled_indices=chunk
+                )
+                yield seg, jax.device_put(stack, self._frames_sharding)
+
+        for seg, out in self._segment_outputs(pairs(), self._step, False):
+            chunk = seg.sampled_indices
             res = self._temporal(
                 out.embedding, out.has_face, jnp.int32(len(chunk)), state
             )

@@ -312,24 +312,12 @@ def _stage_crops(frames_chw, boxes, width, height, out_size, dtype,
     return crop_resize_area_mxu(frames_chw, bounds, out_size, dtype=dtype)
 
 
-def detect_faces(
-    params: MTCNNParams,
-    frames: jax.Array,
-    cfg: Optional[MTCNNConfig] = None,
-    *,
-    dtype=jnp.bfloat16,
-    precision=None,
-) -> Detections:
-    """Run the full cascade on a (B, H, W, 3) uint8 frame batch.
+def _prep_crop_frames(frames, cfg: MTCNNConfig, *, dtype, precision):
+    """Shared crop-source preparation for the R-Net/O-Net stage crops.
 
-    Channel order is the caller's choice: the reference feeds BGR
-    (cv2 decode, server/model.py:47) which ``reference_compat`` preserves.
-    """
-    cfg = cfg or MTCNNConfig()
-    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
-
-    boxes, scores, valid = _stage1(params, frames, cfg, dtype=dtype, precision=precision)
-
+    Returns (frames_chw, frames_fused, crop_quant, crop_dtype) — one
+    transpose (+ optional Pallas prep) pass reused by both stages and by
+    the track-propagated refinement path."""
     # Channel-major uint8 frames shared by both stage-crop extractions
     # (H/W must be the minor dims; C-minor intermediates lane-pad 3 -> 128).
     frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
@@ -355,9 +343,32 @@ def detect_faces(
         version = int(cfg.use_fused_crops)
         prep = prep_frames_fused2 if version >= 2 else prep_frames_for_fused_crops
         frames_fused = (version, prep(frames_chw))
+    return frames_chw, frames_fused, crop_quant, crop_dtype
+
+
+def _stages23(
+    params: MTCNNParams,
+    prep,
+    boxes,
+    scores,
+    valid,
+    cfg: MTCNNConfig,
+    *,
+    w: int,
+    h: int,
+    k2: int,
+    k3: int,
+    dtype,
+    precision,
+) -> Detections:
+    """Stages 2-3 of the cascade (R-Net refine + O-Net score/landmarks) on
+    an arbitrary candidate set — the shared tail of full detection and of
+    track-propagated refinement, so both paths keep identical semantics
+    (thresholds, NMS modes, bbreg/rerec order, landmark mapping)."""
+    frames_chw, frames_fused, crop_quant, crop_dtype = prep
+    b = frames_chw.shape[0]
 
     # ---- Stage 2: R-Net on 24x24 crops -----------------------------------
-    k2 = min(cfg.rnet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k2, boxes)
     crops = _stage_crops(frames_chw, boxes, w, h, 24, crop_dtype,
                          frames_fused=frames_fused, quant=crop_quant)
@@ -374,7 +385,6 @@ def detect_faces(
     boxes = rerec(bbreg(boxes, reg))
 
     # ---- Stage 3: O-Net on 48x48 crops ------------------------------------
-    k3 = min(cfg.onet_capacity, boxes.shape[1])
     scores, valid, boxes = _topk_gather(scores, valid, k3, boxes)
     crops = _stage_crops(frames_chw, boxes, w, h, 48, crop_dtype,
                          frames_fused=frames_fused, quant=crop_quant)
@@ -398,6 +408,100 @@ def detect_faces(
     valid = jnp.logical_and(valid, keep)
 
     return Detections(boxes=boxes, scores=scores, landmarks=landmarks, valid=valid)
+
+
+def detect_faces(
+    params: MTCNNParams,
+    frames: jax.Array,
+    cfg: Optional[MTCNNConfig] = None,
+    *,
+    dtype=jnp.bfloat16,
+    precision=None,
+) -> Detections:
+    """Run the full cascade on a (B, H, W, 3) uint8 frame batch.
+
+    Channel order is the caller's choice: the reference feeds BGR
+    (cv2 decode, server/model.py:47) which ``reference_compat`` preserves.
+    """
+    cfg = cfg or MTCNNConfig()
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+
+    boxes, scores, valid = _stage1(params, frames, cfg, dtype=dtype, precision=precision)
+    prep = _prep_crop_frames(frames, cfg, dtype=dtype, precision=precision)
+    k2 = min(cfg.rnet_capacity, boxes.shape[1])
+    return _stages23(
+        params, prep, boxes, scores, valid, cfg,
+        w=w, h=h, k2=k2, k3=min(cfg.onet_capacity, k2),
+        dtype=dtype, precision=precision,
+    )
+
+
+# Track-propagated refinement candidates: concentric squares around the
+# seed box at these scales.  Four scales fill the fixed capacity exactly;
+# the largest (2x side) tolerates ~0.5 x side of face motion between
+# keyframes before the face leaves every candidate, and O-Net's bbreg
+# re-localizes within a candidate.  Python floats (never module-level jnp
+# constants — PERFORMANCE.md finding 1).
+PROPAGATE_SCALES = (1.0, 1.3, 1.65, 2.0)
+
+
+def refine_faces(
+    params: MTCNNParams,
+    frames: jax.Array,
+    seed_boxes: jax.Array,
+    seed_valid: jax.Array,
+    cfg: Optional[MTCNNConfig] = None,
+    *,
+    dtype=jnp.bfloat16,
+    precision=None,
+) -> Detections:
+    """Track-propagated detection: stages 2-3 only, seeded from a known box.
+
+    The reference re-runs the full pyramid + P-Net cascade on every sampled
+    frame (/root/reference/server/model.py:47) even when the previous
+    frame's face is known and stable — on TPU that is ~2/3 of the frame
+    step (pyramid ~19 ms + trunk ~35 ms + selection at 1080p b128) spent
+    re-discovering a box we already have.  This entry point replaces
+    stage 1 with a fixed candidate set derived from ``seed_boxes`` (the
+    most recent keyframe's full detection): concentric squares at
+    ``PROPAGATE_SCALES``, scored in descending-scale-free order, then the
+    UNCHANGED stage-2/3 machinery (same thresholds, NMS modes, bbreg/rerec
+    and landmark semantics via ``_stages23``) refines, re-scores, and can
+    reject them.  Frames whose ``seed_valid`` is False yield no detection
+    (a face appearing mid-interval is picked up at the next keyframe).
+
+    seed_boxes: (B, 4) f32; seed_valid: (B,) bool — one seed per frame.
+    """
+    cfg = cfg or MTCNNConfig()
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    c = len(PROPAGATE_SCALES)
+
+    sq = rerec(seed_boxes)
+    cx = (sq[..., 0] + sq[..., 2]) * 0.5
+    cy = (sq[..., 1] + sq[..., 3]) * 0.5
+    side = sq[..., 2] - sq[..., 0]
+    cands = []
+    for s in PROPAGATE_SCALES:
+        half = side * (0.5 * s)
+        cands.append(
+            jnp.stack([cx - half, cy - half, cx + half, cy + half], axis=-1)
+        )
+    boxes = jnp.stack(cands, axis=1)  # (B, C, 4)
+    valid = jnp.broadcast_to(seed_valid[:, None], (b, c))
+    # Descending placeholder scores keep the pre-R-Net top-k gather order
+    # deterministic (tightest candidate first); R-Net probabilities replace
+    # them immediately after.
+    scores = jnp.where(
+        valid,
+        1.0 - 0.01 * jnp.arange(c, dtype=jnp.float32)[None, :],
+        0.0,
+    )
+
+    prep = _prep_crop_frames(frames, cfg, dtype=dtype, precision=precision)
+    return _stages23(
+        params, prep, boxes, scores, valid, cfg,
+        w=w, h=h, k2=c, k3=c, dtype=dtype, precision=precision,
+    )
 
 
 def select_primary_face(
