@@ -926,3 +926,123 @@ def test_warmup_bad_entry_is_best_effort(tmp_path):
     # done against requested verbatim; duplicate spellings of one bucket
     # all land in done (compiled once).
     assert srv._warmed == ["64X96", "64x96"]
+
+
+# ---- concurrent job batching (StreamScheduler group runner) -----------------
+
+
+def _make_real_video(tmp_path, name, n=24, w=96, h=64, fps=10):
+    import cv2
+    import numpy as np
+
+    path = str(tmp_path / name)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert writer.isOpened()
+    rng = np.random.default_rng(7)
+    for _ in range(n):
+        writer.write(cv2.blur(
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), (9, 9)
+        ))
+    writer.release()
+    return path
+
+
+def test_concurrent_jobs_share_device_batches(tmp_path):
+    """N same-resolution /jobs/analyze-video submissions are dequeued as
+    ONE group and scored in shared device batches (the reference would run
+    them strictly one at a time, server/server.py:611): with batch >= the
+    group's total sampled frames, the whole group costs ONE device step
+    instead of N, each job's score equals its solo analysis, the annotated
+    outputs serve over /video, and /metrics exposes latency percentiles."""
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    cfg = DetectorConfig(
+        frame_batch=96, compute_dtype="float32", yuv_ingest=False,
+        mtcnn=MTCNNConfig(
+            pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+            thresholds=(0.5, 0.3, 0.2),  # random weights: permissive
+        ),
+    )
+    det = Detector(cfg)
+    paths = [_make_real_video(tmp_path, f"v{i}.mp4") for i in range(3)]
+    # Solo baseline first (group jobs delete their inputs afterwards).
+    solo = det.analyze_video(paths[0])
+
+    step_batches = []
+    real_step = det.step_device
+
+    def counting_step(frames):
+        step_batches.append(int(frames.shape[0]))
+        return real_step(frames)
+
+    det.step_device = counting_step
+
+    server = TruelyServer(
+        detector=det, agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    # Hold the single worker on a gate job so all three submissions are
+    # queued together, then release: they must dequeue as one group.
+    gate = threading.Event()
+    server.jobs.submit("gate", lambda: gate.wait(30) and {})
+    job_ids = []
+    for p in paths:
+        resp, payload = call(server, "POST", "/jobs/analyze-video",
+                             body={"videoPath": p})
+        assert resp.status == 202
+        job_ids.append(payload["jobId"])
+    gate.set()
+
+    jobs = [server.jobs.wait(j, timeout=300) for j in job_ids]
+    assert [j.status for j in jobs] == ["done", "done", "done"]
+    # One group: identical start/finish stamps across the three jobs.
+    assert len({j.started_at for j in jobs}) == 1
+    assert len({j.finished_at for j in jobs}) == 1
+    # ONE shared device step scored all three videos (3 x 24 sampled
+    # frames <= one 96-frame batch) — that is the whole point.
+    assert len(step_batches) == 1, step_batches
+    # Decisions equal solo analysis (identical content in all three).
+    for j in jobs:
+        assert j.result["fakeScore"] == solo.fake_score
+        resp, _ = call(server, "GET", f"/video/{j.result['resultId']}")
+        assert resp.status == 200
+    # Inputs deleted per the reference contract (async, allow a moment).
+    deadline = time.time() + 10
+    while any(os.path.exists(p) for p in paths) and time.time() < deadline:
+        time.sleep(0.02)
+    assert not any(os.path.exists(p) for p in paths)
+    # The BASELINE north-star metric: latency percentiles on /metrics.
+    resp, metrics = call(server, "GET", "/metrics")
+    assert metrics["analyses_total"] == 3
+    assert metrics["analysis_seconds_p50"] > 0
+    assert metrics["analysis_seconds_p95"] >= metrics["analysis_seconds_p50"]
+
+
+def test_single_job_keeps_solo_contract(tmp_path):
+    """A lone groupable job (real video, batch_key set) still runs the
+    synchronous handler path — full contract, no scheduler involved."""
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    det = Detector(DetectorConfig(
+        frame_batch=8, compute_dtype="float32", yuv_ingest=False,
+        mtcnn=MTCNNConfig(pnet_topk_total=64, rnet_capacity=16,
+                          onet_capacity=8, thresholds=(0.5, 0.3, 0.2)),
+    ))
+    server = TruelyServer(
+        detector=det, agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    path = _make_real_video(tmp_path, "solo.mp4")
+    resp, payload = call(server, "POST", "/jobs/analyze-video",
+                         body={"videoPath": path})
+    assert resp.status == 202
+    job = server.jobs.wait(payload["jobId"], timeout=300)
+    assert job.status == "done"
+    assert job.batch_key is not None  # probed, groupable — just alone
+    assert "resultId" in job.result
+    resp, _ = call(server, "GET", f"/video/{job.result['resultId']}")
+    assert resp.status == 200

@@ -12,7 +12,9 @@ The reference processes videos strictly one at a time (SURVEY.md §2.3).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
 
 
 @dataclass
@@ -24,6 +26,7 @@ class BatchVideoResult:
     total_processed: int
     flagged_count: int
     suspicious_frames: List[int]
+    output_path: Optional[str] = None
 
 
 def analyze_videos(
@@ -59,3 +62,95 @@ def analyze_videos(
         )
         for s in summaries
     ]
+
+
+def render_annotated(config, path: str, output_path: str, events) -> None:
+    """Re-render one video with the red/green annotations implied by its
+    stream events (host-only: decode → draw on annotated sampled frames →
+    encode; untouched frames pass through as I420 when eligible, exactly
+    like Detector.analyze_video's writer path)."""
+    from truely_tpu.media.decode import VideoReader
+    from truely_tpu.media.encode import VideoWriter
+    from truely_tpu.media.native import i420_to_bgr_host
+    from truely_tpu.media.overlay import annotate_frame
+
+    rgb = not config.reference_compat
+    with VideoReader(
+        path, rgb=rgb, yuv=config.yuv_ingest, host_frames=True
+    ) as reader:
+        meta = reader.meta
+        with VideoWriter(
+            output_path, meta.fps, meta.width, meta.height
+        ) as writer:
+            if reader.yuv_active:
+                for idx, packed in reader.yuv_frames():
+                    e = events.get(idx)
+                    if e is None or not e.annotated:
+                        writer.write_i420(packed)
+                        continue
+                    px = i420_to_bgr_host(packed, rgb=rgb)
+                    annotate_frame(
+                        px, e.box, flagged=e.flagged, frame_index=idx, rgb=rgb
+                    )
+                    writer.write(
+                        px if config.reference_compat
+                        else np.ascontiguousarray(px[..., ::-1])
+                    )
+            else:
+                for idx, frame in reader.frames():
+                    e = events.get(idx)
+                    if e is not None and e.annotated:
+                        annotate_frame(
+                            frame, e.box, flagged=e.flagged,
+                            frame_index=idx, rgb=rgb,
+                        )
+                    writer.write(
+                        frame if config.reference_compat
+                        else np.ascontiguousarray(frame[..., ::-1])
+                    )
+
+
+def analyze_videos_annotated(
+    detector,
+    paths: Sequence[str],
+    output_paths: Sequence[str],
+    *,
+    mesh=None,
+) -> List[BatchVideoResult]:
+    """Shared-device-batch scoring of N same-resolution videos PLUS a
+    per-video annotated output (the /analyze-video contract).
+
+    TPU-first split of the work: ONE pass through the StreamScheduler does
+    all device computation for every video at once (decisions exactly equal
+    each video's solo analysis — the scheduler's interleaving-exactness
+    property), and annotation becomes a host-only re-render from the
+    recorded per-frame events.  N concurrent server jobs therefore share
+    device batches instead of serializing N full analyses (the reference
+    runs strictly one at a time, server/server.py:611)."""
+    from truely_tpu.pipeline.stream_files import stream_videos
+
+    assert len(paths) == len(output_paths)
+    events: Dict[int, Dict[int, object]] = {i: {} for i in range(len(paths))}
+
+    def on_event(e):
+        events[e.stream_id][e.frame_index] = e
+
+    summaries = stream_videos(
+        detector, paths, mesh=mesh, on_event=on_event,
+    )
+    out = []
+    for i, (s, opath) in enumerate(zip(summaries, output_paths)):
+        render_annotated(detector.config, paths[i], opath, events[i])
+        out.append(
+            BatchVideoResult(
+                path=s.path,
+                fake_score=s.fake_score,
+                frame_count=s.frame_count,
+                fps=s.fps,
+                total_processed=s.processed,
+                flagged_count=s.flagged_count,
+                suspicious_frames=s.suspicious_frames,
+                output_path=opath,
+            )
+        )
+    return out

@@ -104,7 +104,14 @@ class TruelyServer:
             "last_analysis_seconds": None,
             "analysis_seconds_total": 0.0,
         }
+        # Rolling window of per-analysis wall times for the p50/p95
+        # percentiles (BASELINE.md names p50 per-video analyze latency as a
+        # north-star metric); bounded so /metrics stays O(1) memory.
+        self._analysis_seconds: List[float] = []
         self.jobs = JobRunner(ttl_seconds=self.config.result_ttl_seconds)
+        self.jobs.register_group_runner(
+            "analyze-video", self._run_analysis_group
+        )
         self.router = self._build_router()
         self._warmed: list = []
         if self.config.warmup_resolutions:
@@ -143,6 +150,20 @@ class TruelyServer:
             self.metrics["analysis_seconds_total"] = round(
                 self.metrics["analysis_seconds_total"] + seconds, 3
             )
+            self._analysis_seconds.append(seconds)
+            if len(self._analysis_seconds) > 1000:
+                del self._analysis_seconds[:-1000]
+
+    @staticmethod
+    def _percentile(sorted_vals: List[float], q: float) -> float:
+        """Nearest-rank percentile of an already-sorted list."""
+        if not sorted_vals:
+            return 0.0
+        idx = min(
+            len(sorted_vals) - 1,
+            max(0, int(round(q * (len(sorted_vals) - 1)))),
+        )
+        return round(sorted_vals[idx], 3)
 
     # ------------------------------------------------------------------
 
@@ -187,6 +208,74 @@ class TruelyServer:
             return score
         finally:
             self._record_analysis(time.time() - t0, ok)
+
+    def _run_analysis_group(self, jobs) -> Dict[str, Dict[str, Any]]:
+        """Group runner for same-resolution /jobs/analyze-video batches:
+        ONE StreamScheduler pass scores every video in shared device
+        batches (decisions exactly equal each video's solo analysis —
+        the scheduler's tested interleaving-exactness property), then the
+        annotated outputs re-render host-side from the recorded events.
+        N concurrent jobs no longer serialize N full analyses on the
+        detector lock (the reference is strictly one-at-a-time,
+        server/server.py:611)."""
+        from truely_tpu.pipeline.batch import analyze_videos_annotated
+
+        paths = [j.payload["videoPath"] for j in jobs]
+        outputs = [self._output_path_for(p) for p in paths]
+        detector = self.detector
+        if getattr(detector.config, "multi_face", False):
+            # The stream scheduler is single-face; multi-face servers keep
+            # the solo path (sequential, full per-track semantics).
+            out: Dict[str, Dict[str, Any]] = {}
+            for j, opath in zip(jobs, outputs):
+                score = self._run_analysis(j.payload["videoPath"], opath)
+                if os.path.exists(opath) and os.path.getsize(opath) > 0:
+                    rid = self.store.put(
+                        {"output_path": opath, "fake_score": score}
+                    )
+                    self._delete_input_later(j.payload["videoPath"])
+                    out[j.job_id] = {"fakeScore": score, "resultId": rid}
+            return out
+        t0 = time.time()
+        ok = False
+        try:
+            with self._detector_lock:
+                results = analyze_videos_annotated(detector, paths, outputs)
+            ok = True
+        finally:
+            dt = time.time() - t0
+            for _ in jobs:  # per-job latency == the group wall they waited
+                self._record_analysis(dt, ok)
+        out: Dict[str, Dict[str, Any]] = {}
+        for j, r in zip(jobs, results):
+            if (
+                not os.path.exists(r.output_path)
+                or os.path.getsize(r.output_path) == 0
+            ):
+                continue  # runner marks the missing job failed
+            result_id = self.store.put(
+                {"output_path": r.output_path, "fake_score": r.fake_score}
+            )
+            self._delete_input_later(j.payload["videoPath"])
+            out[j.job_id] = {"fakeScore": r.fake_score, "resultId": result_id}
+        return out
+
+    def _probe_bucket(self, path: str):
+        """Resolution bucket of a local video, for job group batching
+        (StreamScheduler requires one compiled bucket per group; fps may
+        differ per video).  None = not probeable -> job runs solo."""
+        try:
+            import cv2
+
+            cap = cv2.VideoCapture(path)
+            if not cap.isOpened():
+                return None
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            cap.release()
+            return (h, w) if h > 0 and w > 0 else None
+        except Exception:
+            return None
 
     # ------------------------------------------------------------------
 
@@ -284,6 +373,9 @@ class TruelyServer:
     def get_metrics(self, req: Request) -> Response:
         with self._metrics_lock:
             payload = dict(self.metrics)
+            latencies = sorted(self._analysis_seconds)
+        payload["analysis_seconds_p50"] = self._percentile(latencies, 0.50)
+        payload["analysis_seconds_p95"] = self._percentile(latencies, 0.95)
         payload["results_stored"] = len(self.store)
         payload["weights_pretrained"] = self._weights_pretrained()
         payload["uptime_seconds"] = round(time.time() - payload["started_at"], 1)
@@ -614,7 +706,10 @@ class TruelyServer:
 
     # ---- async jobs -------------------------------------------------------
 
-    def _submit_job(self, req: Request, kind: str, handler) -> Response:
+    def _submit_job(
+        self, req: Request, kind: str, handler, *,
+        batch_key=None, job_payload=None,
+    ) -> Response:
         """Validate synchronously (4xx now), run the sync handler on the
         job worker, surface its JSON as the job result."""
         import json as _json
@@ -634,11 +729,27 @@ class TruelyServer:
                 raise RuntimeError(payload.get("error", f"HTTP {resp.status}"))
             return payload
 
-        job = self.jobs.submit(kind, run_job)
+        job = self.jobs.submit(
+            kind, run_job, batch_key=batch_key, payload=job_payload
+        )
         return Response.json({"jobId": job.job_id, "status": job.status}, 202)
 
     def submit_analyze_video(self, req: Request) -> Response:
-        return self._submit_job(req, "analyze-video", self.analyze_video)
+        # Same-resolution jobs queued together share device batches via the
+        # registered group runner; probe the bucket up front.
+        batch_key = None
+        payload = None
+        try:
+            vp = (req.json() or {}).get("videoPath")
+            if isinstance(vp, str) and os.path.isfile(vp):
+                batch_key = self._probe_bucket(vp)
+                payload = {"videoPath": vp}
+        except ValueError:
+            pass  # _submit_job reports the 400
+        return self._submit_job(
+            req, "analyze-video", self.analyze_video,
+            batch_key=batch_key, job_payload=payload,
+        )
 
     def submit_analyze_combined(self, req: Request) -> Response:
         return self._submit_job(req, "analyze-combined", self.analyze_combined)

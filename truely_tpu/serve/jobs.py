@@ -12,17 +12,25 @@ adds an additive async surface:
 Jobs run on a single worker thread (the device is serialized anyway) and
 results land in the same TTL store the synchronous path uses, so /view,
 /video, /audio work identically on completed jobs.
+
+Group batching: jobs submitted with a ``batch_key`` (e.g. the video's
+resolution bucket) are dequeued TOGETHER with every other queued job of the
+same kind+key and handed to the kind's registered group runner — the server
+routes same-bucket analyze-video groups through the StreamScheduler so N
+concurrent submissions share device batches instead of serializing N full
+analyses on the detector lock (the reference runs strictly one at a time,
+server/server.py:611).
 """
 
 from __future__ import annotations
 
+import collections
 import logging
-import queue
 import threading
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 logger = logging.getLogger(__name__)
 
@@ -37,6 +45,8 @@ class Job:
     finished_at: Optional[float] = None
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
+    batch_key: Optional[Tuple] = None
+    payload: Optional[Dict[str, Any]] = None
 
     def to_json(self) -> Dict[str, Any]:
         payload: Dict[str, Any] = {
@@ -57,15 +67,27 @@ class Job:
 
 
 class JobRunner:
-    """Single-worker job queue (device access is serialized regardless)."""
+    """Single-worker job queue (device access is serialized regardless),
+    with optional same-bucket group dequeue (see module docstring)."""
 
     def __init__(self, ttl_seconds: float = 3600.0):
         self._jobs: Dict[str, Job] = {}
         self._lock = threading.Lock()
-        self._queue: "queue.Queue[Optional[str]]" = queue.Queue()
+        self._cond = threading.Condition(self._lock)
+        self._pending: "collections.deque[str]" = collections.deque()
         self._fns: Dict[str, Callable[[], Dict[str, Any]]] = {}
+        self._group_runners: Dict[str, Callable[[List[Job]], Dict[str, Dict[str, Any]]]] = {}
         self._ttl = ttl_seconds
         self._worker: Optional[threading.Thread] = None
+
+    def register_group_runner(
+        self, kind: str,
+        fn: Callable[[List[Job]], Dict[str, Dict[str, Any]]],
+    ) -> None:
+        """``fn(jobs) -> {job_id: result}`` for a group of same-batch_key
+        jobs of ``kind``; a missing job_id in the result marks that job
+        failed.  An exception fails the whole group."""
+        self._group_runners[kind] = fn
 
     def _ensure_worker(self) -> None:
         # Under the lock: two concurrent submits could otherwise both see a
@@ -78,12 +100,23 @@ class JobRunner:
                 )
                 self._worker.start()
 
-    def submit(self, kind: str, fn: Callable[[], Dict[str, Any]]) -> Job:
-        job = Job(job_id=str(uuid.uuid4()), kind=kind)
-        with self._lock:
+    def submit(
+        self,
+        kind: str,
+        fn: Callable[[], Dict[str, Any]],
+        *,
+        batch_key: Optional[Tuple] = None,
+        payload: Optional[Dict[str, Any]] = None,
+    ) -> Job:
+        job = Job(
+            job_id=str(uuid.uuid4()), kind=kind,
+            batch_key=batch_key, payload=payload,
+        )
+        with self._cond:
             self._jobs[job.job_id] = job
             self._fns[job.job_id] = fn
-        self._queue.put(job.job_id)
+            self._pending.append(job.job_id)
+            self._cond.notify()
         self._ensure_worker()
         return job
 
@@ -102,27 +135,76 @@ class JobRunner:
             self._jobs.pop(jid, None)
             self._fns.pop(jid, None)
 
+    def _take_group_locked(self) -> List[Job]:
+        """Pop the next job; when it is groupable, also pull every other
+        queued job with the same kind+batch_key (FIFO order preserved for
+        the rest of the queue)."""
+        job_id = self._pending.popleft()
+        job = self._jobs.get(job_id)
+        if job is None:
+            return []
+        group = [job]
+        if job.batch_key is not None and job.kind in self._group_runners:
+            keep = collections.deque()
+            while self._pending:
+                jid = self._pending.popleft()
+                other = self._jobs.get(jid)
+                if (
+                    other is not None
+                    and other.kind == job.kind
+                    and other.batch_key == job.batch_key
+                ):
+                    group.append(other)
+                else:
+                    keep.append(jid)
+            self._pending = keep
+        return group
+
     def _loop(self) -> None:
         while True:
-            job_id = self._queue.get()
-            if job_id is None:
-                return
-            with self._lock:
-                job = self._jobs.get(job_id)
-                fn = self._fns.pop(job_id, None)
-            if job is None or fn is None:
+            with self._cond:
+                while not self._pending:
+                    self._cond.wait()
+                group = self._take_group_locked()
+                fns = {j.job_id: self._fns.pop(j.job_id, None) for j in group}
+            if not group:
                 continue
-            job.status = "running"
-            job.started_at = time.time()
+            now = time.time()
+            for j in group:
+                j.status = "running"
+                j.started_at = now
             try:
-                job.result = fn()
-                job.status = "done"
+                if len(group) > 1:
+                    runner = self._group_runners[group[0].kind]
+                    results = runner(group)
+                    for j in group:
+                        if j.job_id in results:
+                            j.result = results[j.job_id]
+                            j.status = "done"
+                        else:
+                            j.error = "analysis produced no result"
+                            j.status = "failed"
+                else:
+                    j = group[0]
+                    fn = fns[j.job_id]
+                    if fn is None:
+                        j.error = "job function missing"
+                        j.status = "failed"
+                    else:
+                        j.result = fn()
+                        j.status = "done"
             except Exception as e:
-                logger.exception("job %s failed", job_id)
-                job.error = str(e)
-                job.status = "failed"
+                logger.exception(
+                    "job group %s failed", [j.job_id for j in group]
+                )
+                for j in group:
+                    if j.status == "running":
+                        j.error = str(e)
+                        j.status = "failed"
             finally:
-                job.finished_at = time.time()
+                done = time.time()
+                for j in group:
+                    j.finished_at = done
 
     def wait(self, job_id: str, timeout: float = 60.0) -> Optional[Job]:
         """Test helper: poll until the job leaves queued/running."""
