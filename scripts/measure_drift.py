@@ -31,11 +31,16 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def sampled_fixture_frames(interval=4):
+def sampled_fixture_frames(interval=4, res=360):
+    """Fixture frames at the requested bucket: native 360p, or bilinear
+    upscale to the 720p/1080p buckets (same content — the per-bucket rows
+    characterize the production operators at each bucket's pyramid/crop
+    shapes, not new footage)."""
     import cv2
 
     from tests.clip import bundled_clip_path
 
+    sizes = {360: (640, 360), 720: (1280, 720), 1080: (1920, 1080)}
     cap = cv2.VideoCapture(bundled_clip_path())
     frames = []
     idx = 0
@@ -44,10 +49,12 @@ def sampled_fixture_frames(interval=4):
         if not ok:
             break
         if idx % interval == 0:
+            if res != 360:
+                f = cv2.resize(f, sizes[res], interpolation=cv2.INTER_LINEAR)
             frames.append(f)
         idx += 1
     cap.release()
-    return np.stack(frames)  # (240, 360, 640, 3) BGR
+    return np.stack(frames)  # (240, H, W, 3) BGR
 
 
 def seeded_params(seed):
@@ -74,6 +81,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--res", type=int, default=360, choices=(360, 720, 1080),
+                    help="resolution bucket (720/1080 upscale the fixture)")
+    ap.add_argument("--variants", default="",
+                    help="comma-separated subset of variant names to run "
+                         "(default: all; big buckets want a subset)")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +93,7 @@ def main():
     from truely_tpu.config import DetectorConfig, MTCNNConfig
     from truely_tpu.pipeline.detector import Detector
 
-    frames = sampled_fixture_frames()
+    frames = sampled_fixture_frames(res=args.res)
     n = frames.shape[0]
     thresh = 0.99
 
@@ -92,9 +104,9 @@ def main():
     # drift is attributed, not just totaled.
     common = dict(thresholds=(0.5, 0.3, 0.2))
 
-    def make(dtype, cascade, quant):
+    def make(dtype, cascade, quant, k=1):
         return Detector(DetectorConfig(
-            frame_batch=args.batch, compute_dtype=dtype,
+            frame_batch=args.batch, compute_dtype=dtype, detect_interval=k,
             mtcnn=MTCNNConfig(
                 pyramid_cascade=cascade, stage_crop_quant=quant, **common
             ),
@@ -106,12 +118,26 @@ def main():
     # measured ZERO drift vs exact across 20 seeds x 240 frames).  So the
     # decomposition runs inside the bf16 world: bf16 alone is the dtype
     # effect, and each lever's marginal effect is its row minus bf16_only.
+    # detect_interval is STRUCTURAL (which frames get full detection), so
+    # its rows compose it onto the full fast path — the production shape.
     det_exact = make("float32", False, 1)
+    factories = {
+        "full_fast(bf16+cascade+q4)": lambda: make("bfloat16", True, 4),
+        "bf16_only": lambda: make("bfloat16", False, 1),
+        "bf16_cascade_q1": lambda: make("bfloat16", True, 1),
+        "bf16_nocascade_q4": lambda: make("bfloat16", False, 4),
+        "full_fast_q8(bf16+cascade+q8)": lambda: make("bfloat16", True, 8),
+        "full_fast_propagate_k4": lambda: make("bfloat16", True, 4, k=4),
+        "full_fast_propagate_k8": lambda: make("bfloat16", True, 4, k=8),
+    }
+    wanted = [v for v in args.variants.split(",") if v]
+    for w in wanted:
+        if w not in factories:
+            ap.error(f"unknown variant {w!r}; choices: {list(factories)}")
     variants = {
-        "full_fast(bf16+cascade+q4)": make("bfloat16", True, 4),
-        "bf16_only": make("bfloat16", False, 1),
-        "bf16_cascade_q1": make("bfloat16", True, 1),
-        "bf16_nocascade_q4": make("bfloat16", False, 4),
+        name: fn()
+        for name, fn in factories.items()
+        if not wanted or name in wanted
     }
 
     def iou(a, b):
@@ -172,7 +198,8 @@ def main():
                 )
         print(" ".join(line), file=sys.stderr, flush=True)
 
-    out = {"seeds": args.seeds, "frames_per_seed": n, "variants": {}}
+    out = {"seeds": args.seeds, "frames_per_seed": n, "res": args.res,
+           "variants": {}}
     for name, acc in accs.items():
         dsim = np.asarray(acc.dsim) if acc.dsim else np.zeros(1)
         margins = np.asarray(acc.margins) if acc.margins else np.ones(1)

@@ -229,3 +229,59 @@ def test_mesh_sharded_yuv_streams_match_bgr(detector):
                 a.counter, a.box) == (b.stream_id, b.frame_index,
                                       b.has_face, b.flagged, b.counter,
                                       b.box)
+
+
+def test_1080p_yuv_mesh_streams_match_solo():
+    """BASELINE config 5 at its actual bucket: 1080p60 streams, packed
+    I420, DP-sharded over a virtual 4-device mesh — every event and score
+    must equal solo analysis of the exact BGR rendering of the same pixels
+    (the scheduler's interleaving-exactness property at the spec'd
+    resolution, not a miniature stand-in)."""
+    import jax
+
+    from truely_tpu.ops.yuv import i420_to_bgr
+    from truely_tpu.parallel.mesh import make_mesh
+
+    cfg = DetectorConfig(
+        frame_batch=8,
+        mtcnn=MTCNNConfig(
+            pnet_topk_total=32, rnet_capacity=8, onet_capacity=4,
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+        compute_dtype="float32",
+    )
+    det = Detector(cfg)
+    h, w = 1080, 1920
+    fps = 60  # sampling interval 8 — the 1080p60 law
+    rng = np.random.default_rng(3)
+    packed = [
+        rng.integers(0, 256, size=(24, h * 3 // 2, w), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    bgr = [np.asarray(i420_to_bgr(p)) for p in packed]
+    solo = [det.analyze_frames(b, fps=fps) for b in bgr]
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sched = StreamScheduler(
+        det, n_streams=2, frames_per_stream=4, fps=fps, mesh=mesh, yuv=True
+    )
+    events = []
+    for t in range(24):
+        for i in range(2):
+            sched.push(i, packed[i][t])
+    events.extend(sched.drain())
+
+    by_stream = {0: [], 1: []}
+    for e in events:
+        by_stream[e.stream_id].append(e)
+    for i in range(2):
+        by_stream[i].sort(key=lambda e: e.frame_index)
+        solo_recs = solo[i].records
+        assert len(by_stream[i]) == len(solo_recs) == 3  # frames 0, 8, 16
+        for ev, rec in zip(by_stream[i], solo_recs):
+            assert ev.frame_index == rec.frame_index
+            assert ev.has_face == rec.has_face
+            assert ev.flagged == rec.flagged
+            assert ev.counter == rec.counter
+            assert ev.box == rec.box
+        assert sched.score(i) == solo[i].fake_score
