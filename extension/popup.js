@@ -42,6 +42,26 @@ function serverUrl(env) {
   return (env && env.SERVER_URL) || "http://localhost:5001";
 }
 
+// Score-band stat labels.  Same contract as the reference popup
+// (extension/popup.js:323-337): consistency/anomaly bands flip at 25/75,
+// confidence steps at |score-50| > 20 / > 40 (which reproduces the
+// reference's fake-branch 70/90 cut points and extends them symmetrically
+// to the authentic branch).
+function scoreBands(score) {
+  const isFake = score > 50;
+  const strength = isFake ? (score > 75 ? 2 : 1) : (score < 25 ? 2 : 1);
+  const dist = Math.abs(score - 50);
+  return {
+    consistency: isFake
+      ? (strength === 2 ? "Very Low" : "Low")
+      : (strength === 2 ? "Very High" : "High"),
+    anomalies: isFake
+      ? (strength === 2 ? "Very High" : "High")
+      : (strength === 2 ? "Very Low" : "Low"),
+    confidence: dist > 40 ? "Very High" : dist > 20 ? "High" : "Medium",
+  };
+}
+
 function displayResults(result, env) {
   $("progress").classList.add("hidden");
   $("results").classList.remove("hidden");
@@ -56,6 +76,10 @@ function displayResults(result, env) {
   $("score-detail").textContent = isFake
     ? "Sustained face-embedding drift detected across frames."
     : "Face embeddings stayed consistent across frames.";
+  const bands = scoreBands(score);
+  $("stat-consistency").textContent = bands.consistency;
+  $("stat-anomalies").textContent = bands.anomalies;
+  $("stat-confidence").textContent = bands.confidence;
 
   if (result.verdict !== undefined || result.newsScore !== undefined) {
     $("news-block").classList.remove("hidden");
@@ -76,6 +100,11 @@ function displayResults(result, env) {
   }
   if (result.resultId) {
     $("report-link").href = `${serverUrl(env)}/view/${result.resultId}`;
+    // Inline annotated-video preview: /video/{id} serves the red-bbox
+    // re-encode with Range support, so the <video> element can stream it.
+    const preview = $("preview");
+    preview.src = `${serverUrl(env)}/video/${result.resultId}`;
+    preview.classList.remove("hidden");
   }
 }
 

@@ -561,6 +561,31 @@ class TestPopup:
         # Video-only result: news block stays hidden.
         assert popup.el("news-block").hidden is True
 
+    def test_stat_cards_and_inline_preview(self):
+        # Band-derived stat cards (same cut points as the reference popup,
+        # extension/popup.js:323-337: consistency/anomaly flip at 25/75,
+        # confidence at the 70/90 fake scores = |score-50| > 20 / > 40) and
+        # the inline annotated preview streamed from /video/{id}.
+        for score, cons, anom, conf in [
+            (95, "Very Low", "Very High", "Very High"),
+            (72, "Low", "High", "High"),
+            (60, "Low", "High", "Medium"),
+            (30, "High", "Low", "Medium"),
+            (12, "Very High", "Very Low", "High"),
+            (5, "Very High", "Very Low", "Very High"),
+        ]:
+            popup, *_ = make_popup(
+                storage=AUTHED, tabs=YT_TAB, tab_handler=video_page_handler,
+                routes=done_job_routes(score=score, with_news=False))
+            assert popup.el("preview").hidden is True
+            popup.click("analyze-btn")
+            assert popup.el("stat-consistency").text == cons, score
+            assert popup.el("stat-anomalies").text == anom, score
+            assert popup.el("stat-confidence").text == conf, score
+            assert popup.el("preview").hidden is False
+            assert popup.el("preview").obj.props["src"] == \
+                "http://localhost:5001/video/r9"
+
     def test_boundary_score_50_is_authentic(self):
         # Strict > 50, matching the reference's popup.js:317.
         popup, *_ = make_popup(
