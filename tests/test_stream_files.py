@@ -114,3 +114,24 @@ def test_stream_cli_unreadable_input(capsys):
     rc = main(["stream", "/nonexistent/clip.mp4"])
     assert rc == 1
     assert "error: could not open video" in capsys.readouterr().err
+
+
+def test_stream_lag_percentiles(tmp_path, detector):
+    """Lag distribution stats (BASELINE config 5 asks for sustained lag,
+    not just the mean): ordered and bounded by the max."""
+    path = synth_clip(str(tmp_path / "pq.mp4"), seed=5, n=12)
+    s = stream_videos(detector, [path], frames_per_stream=2)[0]
+    assert s.processed > 1  # enough events for a distribution
+    assert 0 <= s.p50_lag_s <= s.p95_lag_s <= s.max_lag_s
+
+
+def test_stream_cli_sample_hz(tmp_path, capsys):
+    """--sample-hz rescales the sampling law: at 30 fps, the default 7 Hz
+    samples every 4th frame, 15 Hz every 2nd."""
+    path = synth_clip(str(tmp_path / "hz.mp4"), seed=9, n=8, fps=30)
+    rc = main(["stream", path, "--batch", "4", "--compact",
+               "--sample-hz", "15"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload[0]["processedFrames"] == 4  # frames 0,2,4,6
+    assert "p50LagMs" in payload[0] and "p95LagMs" in payload[0]

@@ -140,6 +140,7 @@ def cmd_stream(args) -> int:
         frame_batch=args.batch,
         reference_compat=not args.corrected,
         yuv_ingest=not args.no_yuv,
+        sample_hz=args.sample_hz,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -195,6 +196,8 @@ def cmd_stream(args) -> int:
             "suspiciousFrames": s.suspicious_frames,
             "sampledFps": round(s.sampled_fps, 2),
             "meanLagMs": round(s.mean_lag_s * 1000, 1),
+            "p50LagMs": round(s.p50_lag_s * 1000, 1),
+            "p95LagMs": round(s.p95_lag_s * 1000, 1),
             "maxLagMs": round(s.max_lag_s * 1000, 1),
             "wallSeconds": round(s.wall_s, 3),
             "yuvIngest": s.yuv_ingest,
@@ -324,6 +327,11 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true",
                    help="pace each stream at its fps (live-feed simulation; "
                         "lag stats then reflect steady-state latency)")
+    p.add_argument("--sample-hz", type=int, default=7,
+                   help="sampling rate law: analyze every "
+                        "max(1, int(fps/sample_hz))-th frame (reference "
+                        "model.py:40 uses 7; 15 doubles the 1080p60 "
+                        "per-stream analysis rate)")
     p.add_argument("--no-yuv", action="store_true",
                    help="disable native-YUV ingestion")
     p.add_argument("--compact", action="store_true", help="one-line JSON")

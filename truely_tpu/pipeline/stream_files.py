@@ -40,6 +40,8 @@ class StreamSummary:
     mean_lag_s: float         # push -> event emission latency
     max_lag_s: float
     yuv_ingest: bool = False
+    p50_lag_s: float = 0.0    # lag distribution (BASELINE config 5 asks
+    p95_lag_s: float = 0.0    # for sustained sub-frame lag, not just mean)
 
 
 @dataclass
@@ -189,10 +191,20 @@ def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
                 sampled_fps=stats.processed / wall if wall > 0 else 0.0,
                 mean_lag_s=(sum(st.lags) / len(st.lags)) if st.lags else 0.0,
                 max_lag_s=max(st.lags) if st.lags else 0.0,
+                p50_lag_s=_percentile(st.lags, 0.50),
+                p95_lag_s=_percentile(st.lags, 0.95),
                 yuv_ingest=use_yuv,
             )
         )
     return summaries
+
+
+def _percentile(xs: List[float], q: float) -> float:
+    """Nearest-rank percentile of a small latency sample (no numpy dep)."""
+    if not xs:
+        return 0.0
+    s = sorted(xs)
+    return s[min(len(s) - 1, int(q * len(s)))]
 
 
 def _bgr_frames(reader: VideoReader, interval: int):
