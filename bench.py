@@ -225,14 +225,16 @@ def main():
     # LAST (the driver parses the final JSON line).  Every bucket has a
     # target (BASELINE.json bucket_targets, north-star law), so every line
     # is a pass/fail.
-    for name, h, w, quant, exact, yuv in (
-        ("360p", 360, 640, 4, False, False),
-        ("720p", 720, 1280, 4, False, False),
-        ("1080p_exact", 1080, 1920, 1, True, False),
-        ("1080p_yuv_ingest", 1080, 1920, 4, False, True),
+    for name, h, w, quant, exact, yuv, k in (
+        ("360p", 360, 640, 4, False, False, 1),
+        ("720p", 720, 1280, 4, False, False, 1),
+        ("1080p_exact", 1080, 1920, 1, True, False, 1),
+        ("1080p_yuv_ingest", 1080, 1920, 4, False, True, 1),
+        ("1080p_propagate_k4", 1080, 1920, 4, False, False, 4),
     ):
         try:
-            fps = _measure(h, w, 128, quant, exact, 2, 7, yuv=yuv)
+            fps = _measure(h, w, 128, quant, exact, 2, 7, yuv=yuv,
+                           detect_interval=k)
             _emit(name, fps, baseline=targets.get(f"{h}p", baseline))
         except Exception as e:  # a secondary config must not eat the headline
             print(f"bench config {name} failed: {e}", file=sys.stderr)
