@@ -179,3 +179,39 @@ def test_serve_dp_batch_divisibility_error(capsys):
     rc = main(["serve", "--dp", "3", "--batch", "32"])
     assert rc == 1
     assert "divisible" in capsys.readouterr().err
+
+
+def test_serve_detect_interval_plumbs_and_validates(monkeypatch, capsys):
+    """--detect-interval reaches the server's detector config; the same
+    guards as analyze apply (multi-face exclusivity, batch divisibility)."""
+    seen = {}
+
+    class FakeApp:
+        def serve(self):
+            pass
+
+    def fake_create_app(config=None, detector_factory=None):
+        seen["factory"] = detector_factory
+        return FakeApp()
+
+    class FakeDetector:
+        def __init__(self, config, weights_dir=None, mesh=None):
+            seen["det_config"] = config
+
+    import truely_tpu.serve.app as app_mod
+    import truely_tpu.pipeline.detector as det_mod
+    monkeypatch.setattr(app_mod, "create_app", fake_create_app)
+    monkeypatch.setattr(det_mod, "Detector", FakeDetector)
+
+    rc = main(["serve", "--batch", "32", "--detect-interval", "4"])
+    assert rc == 0
+    seen["factory"]()
+    assert seen["det_config"].detect_interval == 4
+
+    rc = main(["serve", "--batch", "30", "--detect-interval", "4"])
+    assert rc == 1
+    assert "divisible" in capsys.readouterr().err
+
+    rc = main(["serve", "--multi-face", "--detect-interval", "4"])
+    assert rc == 1
+    assert "single-face" in capsys.readouterr().err

@@ -116,13 +116,43 @@ def test_stream_cli_unreadable_input(capsys):
     assert "error: could not open video" in capsys.readouterr().err
 
 
-def test_stream_lag_percentiles(tmp_path, detector):
+def test_stream_lag_percentiles_and_efficiency(tmp_path, detector):
     """Lag distribution stats (BASELINE config 5 asks for sustained lag,
-    not just the mean): ordered and bounded by the max."""
+    not just the mean) plus scheduler batch-efficiency counters."""
     path = synth_clip(str(tmp_path / "pq.mp4"), seed=5, n=12)
-    s = stream_videos(detector, [path], frames_per_stream=2)[0]
+    eff: dict = {}
+    s = stream_videos(detector, [path], frames_per_stream=2,
+                      scheduler_stats=eff)[0]
     assert s.processed > 1  # enough events for a distribution
     assert 0 <= s.p50_lag_s <= s.p95_lag_s <= s.max_lag_s
+    # every scored frame is accounted for, padding is the complement
+    assert eff["frames_scored"] == s.processed
+    assert eff["frames_padded"] == eff["steps"] * 2 - s.processed
+    assert 0 < eff["batch_utilization"] <= 1
+
+
+def test_stream_partial_step_budget_batches(tmp_path, detector):
+    """With a large partial-step budget, the realtime loop accumulates a
+    full batch instead of stepping each frame alone; with budget 0 it
+    partial-steps on paced-idle gaps.  Results are identical either way —
+    the budget only trades latency for batch utilization."""
+    path = synth_clip(str(tmp_path / "pb.mp4"), seed=11, n=6, fps=30)
+    eager: dict = {}
+    s0 = stream_videos(detector, [path], frames_per_stream=2,
+                       realtime=True, scheduler_stats=eager)[0]
+    path2 = synth_clip(str(tmp_path / "pb2.mp4"), seed=11, n=6, fps=30)
+    lazy: dict = {}
+    s1 = stream_videos(detector, [path2], frames_per_stream=2,
+                       realtime=True, partial_step_budget=1e9,
+                       scheduler_stats=lazy)[0]
+    # same content -> same decisions regardless of batching policy
+    assert (s0.fake_score, s0.processed, s0.suspicious_frames) == (
+        s1.fake_score, s1.processed, s1.suspicious_frames)
+    # the budget strictly improves utilization (2 sampled frames fit one
+    # 2-frame batch; eager mode steps frame 0 alone on the first idle gap)
+    assert lazy["steps"] <= eager["steps"]
+    assert lazy["batch_utilization"] >= eager["batch_utilization"]
+    assert lazy["steps"] == 1 and lazy["batch_utilization"] == 1.0
 
 
 def test_stream_cli_sample_hz(tmp_path, capsys):

@@ -174,17 +174,27 @@ def cmd_stream(args) -> int:
             "counter": e.counter,
         }), flush=True)
 
+    sched_stats: dict = {}
     try:
         summaries = stream_videos(
             detector, args.videos,
             frames_per_stream=args.frames_per_stream,
             mesh=mesh,
             realtime=args.realtime,
+            partial_step_budget=args.partial_budget,
             on_event=emit if args.events else None,
+            scheduler_stats=sched_stats,
         )
     except (IOError, OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if sched_stats:  # diagnostics on stderr; stdout stays the summary list
+        print(json.dumps({"schedulerEfficiency": {
+            "steps": sched_stats["steps"],
+            "framesScored": sched_stats["frames_scored"],
+            "framesPadded": sched_stats["frames_padded"],
+            "batchUtilization": round(sched_stats["batch_utilization"], 4),
+        }}), file=sys.stderr)
     payload = [
         {
             "path": s.path,
@@ -239,6 +249,7 @@ def cmd_serve(args) -> int:
         config = DetectorConfig(
             frame_batch=args.batch,
             multi_face=args.multi_face,
+            detect_interval=args.detect_interval,
             mtcnn=MTCNNConfig(stage_crop_quant=args.crop_quant),
         )
         return Detector(config, weights_dir=args.weights, mesh=mesh)
@@ -247,6 +258,20 @@ def cmd_serve(args) -> int:
         print(
             f"error: --batch {args.batch} must be divisible by --dp "
             f"{args.dp}",
+            file=sys.stderr,
+        )
+        return 1
+    if args.multi_face and args.detect_interval > 1:
+        print(
+            "error: --detect-interval applies to single-face analysis only "
+            "(multi-face tracks every frame)",
+            file=sys.stderr,
+        )
+        return 1
+    if args.batch % max(1, args.detect_interval):
+        print(
+            f"error: --batch {args.batch} must be divisible by "
+            f"--detect-interval {args.detect_interval}",
             file=sys.stderr,
         )
         return 1
@@ -327,6 +352,11 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true",
                    help="pace each stream at its fps (live-feed simulation; "
                         "lag stats then reflect steady-state latency)")
+    p.add_argument("--partial-budget", type=float, default=0.0,
+                   help="realtime only: defer a partial batch until its "
+                        "oldest queued frame is this many seconds old "
+                        "(bounds the lag batching can add; raises batch "
+                        "utilization on H2D-starved hosts)")
     p.add_argument("--sample-hz", type=int, default=7,
                    help="sampling rate law: analyze every "
                         "max(1, int(fps/sample_hz))-th frame (reference "
@@ -354,6 +384,10 @@ def main(argv=None) -> int:
                         "max over tracks)")
     p.add_argument("--crop-quant", type=int, default=4,
                    help="stage-crop box grid (1 = exact; see analyze)")
+    p.add_argument("--detect-interval", type=int, default=1,
+                   help="track-propagated detection for the server's "
+                        "analyses: full cascade every K-th sampled frame, "
+                        "seeded refinement between (see analyze)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard the server's frame batches over the first "
                         "N devices")

@@ -63,8 +63,10 @@ def stream_videos(
     frames_per_stream: Optional[int] = None,
     mesh=None,
     realtime: bool = False,
+    partial_step_budget: float = 0.0,
     yuv: Optional[bool] = None,
     on_event: Optional[Callable[[StreamEvent], None]] = None,
+    scheduler_stats: Optional[dict] = None,
 ) -> List[StreamSummary]:
     """Analyze N same-resolution videos as concurrent live streams.
 
@@ -73,7 +75,18 @@ def stream_videos(
     reads as fast as decode allows (lag stats reflect batching+device time,
     sampled_fps the throughput headroom).  ``yuv=None`` auto-selects
     native-YUV ingestion when every stream is eligible.  ``on_event`` fires
-    for every sampled frame as its device step completes.
+    for every sampled frame as its device step completes.  Pass a dict as
+    ``scheduler_stats`` to receive batch-efficiency counters (steps run,
+    frames scored, padded rows uploaded — the padding cost of partial
+    steps on H2D-starved hosts).
+
+    ``partial_step_budget`` (realtime only): a partial batch runs only
+    once its OLDEST queued frame is that many seconds old; until then the
+    loop keeps accumulating toward a full batch.  0 (default) steps on any
+    paced-idle gap — minimum latency, but every near-empty step still
+    uploads the full zero-padded batch (jit = static shapes), which on an
+    H2D-starved host trades throughput for nothing.  The budget is a hard
+    cap on the extra lag batching can add.
     """
     if yuv is None:
         yuv = detector.config.yuv_ingest
@@ -84,14 +97,17 @@ def stream_videos(
     try:
         return _run(detector, paths, readers,
                     frames_per_stream=frames_per_stream, mesh=mesh,
-                    realtime=realtime, on_event=on_event)
+                    realtime=realtime,
+                    partial_step_budget=partial_step_budget,
+                    on_event=on_event,
+                    scheduler_stats=scheduler_stats)
     finally:
         for r in readers:
             r.close()
 
 
 def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
-         on_event):
+         on_event, scheduler_stats=None, partial_step_budget=0.0):
     metas = [r.meta for r in readers]
     h, w = metas[0].height, metas[0].width
     for m in metas[1:]:
@@ -156,13 +172,31 @@ def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
             s.done or now < next_due[i] for i, s in enumerate(streams)
         ):
             # paced idle gap: run a partial step rather than sitting on
-            # queued frames (live feeds must not wait for a full batch)
+            # queued frames (live feeds must not wait for a full batch) —
+            # unless a partial_step_budget defers it while the oldest
+            # queued frame is still younger than the budget
             if sched.pending():
-                handle(sched.step())
+                oldest = min(
+                    min(st.push_times.values())
+                    for st in streams if st.push_times
+                )
+                if time.perf_counter() - oldest >= partial_step_budget:
+                    handle(sched.step())
+                else:
+                    time.sleep(0.001)
             else:
                 time.sleep(0.001)
     handle(sched.drain())
     wall = time.perf_counter() - t_start
+    if scheduler_stats is not None:
+        util = (sched.frames_stepped
+                / max(1, sched.frames_stepped + sched.frames_padded))
+        scheduler_stats.update(
+            steps=sched.steps_run,
+            frames_scored=sched.frames_stepped,
+            frames_padded=sched.frames_padded,
+            batch_utilization=util,
+        )
 
     summaries = []
     for i, (path, st, m) in enumerate(zip(paths, streams, metas)):

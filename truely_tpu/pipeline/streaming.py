@@ -114,6 +114,13 @@ class StreamScheduler:
         self.stats: Dict[int, StreamStats] = {
             i: StreamStats() for i in range(n_streams)
         }
+        # Batch-efficiency counters: a partial step still uploads the full
+        # zero-padded (n_streams*frames_per_stream) batch (jit = static
+        # shapes), which matters on H2D-starved rigs — these make the
+        # padding cost observable instead of guessed at.
+        self.steps_run = 0
+        self.frames_stepped = 0      # valid rows actually scored
+        self.frames_padded = 0       # zero rows uploaded alongside them
         self._vtemporal = jax.jit(
             jax.vmap(
                 lambda e, h, n, s: temporal_consistency(
@@ -191,6 +198,11 @@ class StreamScheduler:
                 indices[i].append(idx)
                 self.stats[i].pending -= 1
             n_valid[i] = len(indices[i])
+
+        n_total = int(n_valid.sum())
+        self.steps_run += 1
+        self.frames_stepped += n_total
+        self.frames_padded += s * f - n_total
 
         flat = batch.reshape((s * f,) + sample.shape)
         if self._mesh is not None:
