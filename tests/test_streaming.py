@@ -285,3 +285,108 @@ def test_1080p_yuv_mesh_streams_match_solo():
             assert ev.counter == rec.counter
             assert ev.box == rec.box
         assert sched.score(i) == solo[i].fake_score
+
+
+# ---------------------------------------------------------------------------
+# Track-propagated streaming (detect_interval=K > 1): full cascade every
+# K-th scheduler STEP, per-stream seeded refinement between (the detector's
+# propagate lever extended to the streaming surface).
+
+
+def test_stream_propagate_keyframe_rows_match_full_mode(detector):
+    """The first step is always a keyframe (no seeds yet), and its rows are
+    bit-identical to full-detection mode — same frames, same temporal
+    prefix, so has_face/box/counter all match."""
+    frames = make_stream(11, n=8)
+
+    def run(k):
+        sched = StreamScheduler(
+            detector, n_streams=1, frames_per_stream=4, fps=10,
+            detect_interval=k,
+        )
+        evs = []
+        for t in range(8):
+            sched.push(0, frames[t])
+            if sched.pending() >= 4:
+                evs.extend(sched.step())
+        evs.extend(sched.drain())
+        return sched, evs
+
+    s1, e1 = run(1)
+    s2, e2 = run(2)
+    assert s1.keyframe_steps == 0       # counter engages only at K>1
+    assert s2.keyframe_steps >= 1
+    assert [e.frame_index for e in e1] == [e.frame_index for e in e2]
+    for a, b in zip(e1[:4], e2[:4]):    # step 0 rows: keyframe in both
+        assert (a.has_face, a.box, a.counter) == (b.has_face, b.box,
+                                                  b.counter)
+
+
+def test_stream_propagate_cadence_promotion_and_reset(detector):
+    """Cadence contract: a step with no valid seeds is promoted to a
+    keyframe; with seeds planted, refines run until the interval expires;
+    reset_stream drops the slot's seed."""
+    sched = StreamScheduler(
+        detector, n_streams=2, frames_per_stream=2, fps=10,
+        detect_interval=3,
+    )
+    frames = make_stream(12, n=12)
+
+    def push_and_step(t0):
+        for t in range(t0, t0 + 2):
+            for i in range(2):
+                sched.push(i, frames[t])
+        sched.step()
+
+    push_and_step(0)                    # no seeds -> promoted keyframe
+    assert (sched.steps_run, sched.keyframe_steps) == (1, 1)
+
+    def plant():
+        sched._seed_box[:] = np.array([10.0, 8.0, 50.0, 40.0], np.float32)
+        sched._seed_valid[:] = True
+
+    plant(); push_and_step(2)           # since_kf 1 -> refine
+    plant(); push_and_step(4)           # since_kf 2 -> refine
+    assert (sched.steps_run, sched.keyframe_steps) == (3, 1)
+    plant(); push_and_step(6)           # since_kf 3 >= K -> keyframe
+    assert (sched.steps_run, sched.keyframe_steps) == (4, 2)
+
+    # reset of ONE stream keeps the other's seed -> no promotion
+    plant()
+    sched.reset_stream(0)
+    assert not sched._seed_valid[0] and sched._seed_valid[1]
+    push_and_step(8)                    # since_kf 1, stream 1 seeded -> refine
+    assert sched.keyframe_steps == 2
+    # dropping every seed promotes the next step
+    sched._seed_valid[:] = False
+    push_and_step(10)
+    assert sched.keyframe_steps == 3
+
+
+def test_stream_propagate_mesh_smoke(detector):
+    """The propagate path composes with a data mesh: keyframe and refine
+    steps both execute sharded and emit the full event set."""
+    import jax
+
+    from truely_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sched = StreamScheduler(
+        detector, n_streams=2, frames_per_stream=2, fps=10,
+        mesh=mesh, detect_interval=2,
+    )
+    frames = make_stream(13, n=8)
+    events = []
+    for t in range(4):
+        for i in range(2):
+            sched.push(i, frames[t])
+        if sched.pending() >= 4:
+            events.extend(sched.step())
+        if t == 1:  # force one refine step regardless of content
+            sched._seed_box[:] = np.array([10.0, 8.0, 50.0, 40.0],
+                                          np.float32)
+            sched._seed_valid[:] = True
+    events.extend(sched.drain())
+    assert len(events) == 8
+    assert sched.keyframe_steps >= 1
+    assert sched.steps_run > sched.keyframe_steps  # a refine really ran

@@ -136,11 +136,19 @@ def cmd_stream(args) -> int:
         if not os.path.isfile(p):
             print(f"error: could not open video: {p}", file=sys.stderr)
             return 1
+    if args.batch % max(1, args.detect_interval):
+        print(
+            f"error: --batch {args.batch} must be divisible by "
+            f"--detect-interval {args.detect_interval}",
+            file=sys.stderr,
+        )
+        return 1
     config = DetectorConfig(
         frame_batch=args.batch,
         reference_compat=not args.corrected,
         yuv_ingest=not args.no_yuv,
         sample_hz=args.sample_hz,
+        detect_interval=args.detect_interval,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -352,6 +360,11 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true",
                    help="pace each stream at its fps (live-feed simulation; "
                         "lag stats then reflect steady-state latency)")
+    p.add_argument("--detect-interval", type=int, default=1,
+                   help="track-propagated streaming: full cascade every "
+                        "K-th scheduler step, per-stream seeded "
+                        "refinement between (O-Net re-scores every frame; "
+                        "lost faces re-acquire at the next keyframe step)")
     p.add_argument("--partial-budget", type=float, default=0.0,
                    help="realtime only: defer a partial batch until its "
                         "oldest queued frame is this many seconds old "

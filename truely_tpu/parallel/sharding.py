@@ -61,6 +61,7 @@ def shard_frame_step(
     data_axis: str = "data",
     yuv: bool = False,
     propagate: bool = False,
+    refine_rows: Optional[int] = None,
 ):
     """jit the per-batch detector step with the frame axis sharded over
     ``data_axis``.  Returns fn(params, frames) with frames (B, H, W, 3) —
@@ -71,11 +72,25 @@ def shard_frame_step(
     (config.detect_interval > 1): frames stay DP-sharded, the tiny (B/K,)
     seeds replicate, and XLA selects each shard's slice of the broadcast."""
     from truely_tpu.pipeline.detector import (
-        _frame_step_propagate, _frame_step_propagate_yuv, _frame_step_yuv,
+        _frame_step_propagate, _frame_step_propagate_yuv,
+        _frame_step_refine, _frame_step_refine_yuv, _frame_step_yuv,
     )
 
     config = config or DetectorConfig()
     compute_dtype = jnp.dtype(config.compute_dtype)
+    if refine_rows:
+        # StreamScheduler propagate mode: every row refines from its
+        # stream's carried seed (no keyframe rows — keyframes are whole
+        # scheduler steps).  frames DP-sharded, (S,) seeds replicated.
+        fn = partial(
+            _frame_step_refine_yuv if yuv else _frame_step_refine,
+            cfg=config, compute_dtype=compute_dtype,
+            rows_per_seed=refine_rows,
+        )
+        frames_sharding = NamedSharding(mesh, P(data_axis))
+        return jax.jit(
+            fn, in_shardings=(None, frames_sharding, None, None)
+        )
     if propagate:
         fn = partial(
             _frame_step_propagate_yuv if yuv else _frame_step_propagate,

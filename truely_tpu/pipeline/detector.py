@@ -180,6 +180,40 @@ def _frame_step_propagate_yuv(params: DetectorParams, packed: jax.Array,
     )
 
 
+def _frame_step_refine(params: DetectorParams, frames: jax.Array,
+                       seed_boxes: jax.Array, seed_valid: jax.Array,
+                       cfg: DetectorConfig, compute_dtype,
+                       rows_per_seed: int) -> FrameOutputs:
+    """Seeded refinement of EVERY row (the StreamScheduler's propagate
+    step, cfg.detect_interval = K > 1): frames is (S * rows_per_seed, ...)
+    grouped per stream, ``seed_boxes``/``seed_valid`` are each stream's
+    carried track seed (S,).  Unlike ``_frame_step_propagate`` there are
+    no keyframe rows here — keyframes are whole scheduler STEPS (every
+    K-th), so every row runs the full stage-2/3 re-scoring and a stale
+    seed is re-checked (and can be rejected) on every sampled frame."""
+    sb = jnp.repeat(seed_boxes, rows_per_seed, axis=0)
+    sv = jnp.repeat(seed_valid, rows_per_seed, axis=0)
+    det = refine_faces(
+        params.mtcnn, frames, sb, sv, cfg.mtcnn, dtype=compute_dtype
+    )
+    box, _score, ok = select_primary_face(det, largest=cfg.mtcnn.select_largest)
+    return _embed_tail(params, frames, box, ok, cfg, compute_dtype)
+
+
+def _frame_step_refine_yuv(params: DetectorParams, packed: jax.Array,
+                           seed_boxes: jax.Array, seed_valid: jax.Array,
+                           cfg: DetectorConfig, compute_dtype,
+                           rows_per_seed: int) -> FrameOutputs:
+    from truely_tpu.ops.yuv import i420_convert
+
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
+    return _frame_step_refine(
+        params, frames, seed_boxes, seed_valid, cfg, compute_dtype,
+        rows_per_seed,
+    )
+
+
 def _frame_step_yuv(params: DetectorParams, packed: jax.Array,
                     cfg: DetectorConfig, compute_dtype) -> FrameOutputs:
     """The frame step on packed I420 input (B, H*3//2, W) uint8: the exact
@@ -530,6 +564,35 @@ class Detector:
             )
         return getattr(self, attr)
 
+    def _ensure_stream_refine_step(self, yuv: bool, rows_per_seed: int):
+        """Lazily-jitted all-rows seeded refinement step (the
+        StreamScheduler's propagate mode; one jit per (yuv, rows_per_seed),
+        cached on the detector so N schedulers share the executable)."""
+        if not hasattr(self, "_srefine_cache"):
+            self._srefine_cache = {}
+        key = (yuv, rows_per_seed)
+        if key not in self._srefine_cache:
+            fn = _frame_step_refine_yuv if yuv else _frame_step_refine
+            self._srefine_cache[key] = jax.jit(
+                partial(
+                    fn, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                    rows_per_seed=rows_per_seed,
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    # frames DP-sharded; the (S,) seeds are tiny and
+                    # replicated — XLA selects each shard's slice.
+                    else {
+                        "in_shardings": (
+                            None, self._frames_sharding, None, None
+                        )
+                    }
+                ),
+            )
+        return self._srefine_cache[key]
+
     def _propagate_outputs(self, pair_iter, step, refine):
         """Yield (segment, FrameOutputs) chronologically with full detection
         only on keyframes (config.detect_interval = K > 1).
@@ -618,6 +681,35 @@ class Detector:
                 ),
                 self._sharded_cache[pkey],
                 dp_spec(mesh, data_axis),
+            )
+        return self._sharded_cache[key]
+
+    def sharded_refine_step(self, mesh, data_axis: str = "data",
+                            yuv: bool = False, rows_per_seed: int = 1):
+        """Cached (refine_fn, params) for the StreamScheduler's propagate
+        mode over an explicit mesh — mirrors ``sharded_step`` (one
+        replicated params copy per (mesh, axis), shared with the full
+        step; one jit per rows_per_seed)."""
+        if mesh == self.mesh and data_axis == self._data_axis:
+            return (
+                self._ensure_stream_refine_step(yuv, rows_per_seed),
+                self.params,
+            )
+        key = (mesh, data_axis, yuv, "refine", rows_per_seed)
+        if key not in self._sharded_cache:
+            from truely_tpu.parallel.sharding import (
+                replicate, shard_frame_step,
+            )
+
+            pkey = (mesh, data_axis)
+            if pkey not in self._sharded_cache:
+                self._sharded_cache[pkey] = replicate(mesh, self.params)
+            self._sharded_cache[key] = (
+                shard_frame_step(
+                    mesh, self.config, data_axis=data_axis, yuv=yuv,
+                    refine_rows=rows_per_seed,
+                ),
+                self._sharded_cache[pkey],
             )
         return self._sharded_cache[key]
 

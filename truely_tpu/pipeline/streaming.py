@@ -67,12 +67,24 @@ class StreamScheduler:
         mesh=None,
         data_axis: str = "data",
         yuv: bool = False,
+        detect_interval: Optional[int] = None,
     ):
         """``yuv=True``: pushed frames are packed I420 pictures
         ((H*3//2, W) uint8, e.g. from ``VideoReader.yuv_frames``) instead
         of HWC BGR/RGB; the exact on-device conversion runs inside the
         batch step, halving the per-step upload.  Events/scores are
-        bit-identical to BGR feeding (tests/test_yuv.py)."""
+        bit-identical to BGR feeding (tests/test_yuv.py).
+
+        ``detect_interval=K > 1`` (default: the detector config's value)
+        extends track-propagated detection to streaming: every K-th STEP
+        runs the full pyramid+cascade; steps between refine every row from
+        its stream's carried seed box through the unchanged stage-2/3
+        machinery (detector._frame_step_refine), so O-Net re-scores — and
+        can reject — the propagated box on every sampled frame.  Seeds
+        roll forward from each stream's latest detected row; a stream that
+        loses its face re-acquires at the next keyframe step (<= K-1 steps
+        late, the same semantics as Detector propagate mode), and a step
+        where NO stream holds a seed is promoted to a keyframe."""
         self.detector = detector
         self.config: DetectorConfig = detector.config
         self.n_streams = n_streams
@@ -121,6 +133,25 @@ class StreamScheduler:
         self.steps_run = 0
         self.frames_stepped = 0      # valid rows actually scored
         self.frames_padded = 0       # zero rows uploaded alongside them
+
+        k = (detect_interval if detect_interval is not None
+             else self.config.detect_interval)
+        if k < 1:
+            raise ValueError(f"detect_interval must be >= 1, got {k}")
+        self.detect_interval = k
+        self.keyframe_steps = 0      # full-cascade steps actually run
+        if k > 1:
+            self._seed_box = np.zeros((n_streams, 4), np.float32)
+            self._seed_valid = np.zeros((n_streams,), bool)
+            self._since_keyframe = 0
+            if mesh is not None:
+                self._refine_step, _ = detector.sharded_refine_step(
+                    mesh, data_axis, yuv=yuv, rows_per_seed=f
+                )
+            else:
+                self._refine_step = detector._ensure_stream_refine_step(
+                    yuv, f
+                )
         self._vtemporal = jax.jit(
             jax.vmap(
                 lambda e, h, n, s: temporal_consistency(
@@ -165,6 +196,10 @@ class StreamScheduler:
         (same statistics-leak class the track spawner resets against,
         pipeline/tracks.py)."""
         self._queues[stream_id].clear()
+        if self.detect_interval > 1:
+            # the next stream must not inherit this one's track seed
+            self._seed_valid[stream_id] = False
+            self._seed_box[stream_id] = 0.0
         # Derive the embedding dim from the constructed state rather than
         # re-hardcoding it: a mismatched fresh state would corrupt the slot.
         fresh = init_temporal_state(self._states.prev_embedding.shape[-1])
@@ -205,19 +240,39 @@ class StreamScheduler:
         self.frames_padded += s * f - n_total
 
         flat = batch.reshape((s * f,) + sample.shape)
+        run_full = True
+        if self.detect_interval > 1:
+            # keyframe cadence: full cascade every K-th step, promoted
+            # early when no stream holds a seed (refines would be no-ops)
+            run_full = (self._since_keyframe >= self.detect_interval
+                        or not self._seed_valid.any())
         if self._mesh is not None:
             # device_put the HOST array with the sharding directly: going
             # through jnp.asarray first lands the whole batch on device 0
             # and reshards device-to-device — an extra full-batch hop in
             # the per-step hot path.
             frames_dev = jax.device_put(flat, self._frames_sharding)
-            out = self._sharded_step(self._sharded_params, frames_dev)
-        elif self.yuv:
-            out = self.detector._ensure_yuv_step()(
-                self.detector.params, jnp.asarray(flat)
-            )
+            params = self._sharded_params
         else:
-            out = self.detector.step_device(jnp.asarray(flat))
+            frames_dev = jnp.asarray(flat)
+            params = self.detector.params
+        if not run_full:
+            out = self._refine_step(
+                params, frames_dev,
+                jnp.asarray(self._seed_box), jnp.asarray(self._seed_valid),
+            )
+        elif self._mesh is not None:
+            out = self._sharded_step(params, frames_dev)
+        elif self.yuv:
+            out = self.detector._ensure_yuv_step()(params, frames_dev)
+        else:
+            out = self.detector.step_device(frames_dev)
+        if self.detect_interval > 1:
+            if run_full:
+                self.keyframe_steps += 1
+                self._since_keyframe = 1
+            else:
+                self._since_keyframe += 1
         emb = out.embedding.reshape(s, f, -1)
         has_face = out.has_face.reshape(s, f)
         res = self._vtemporal(
@@ -225,10 +280,31 @@ class StreamScheduler:
         )
         self._states = res.state
 
-        bounds, hf, ann, flg, sim, cnt = jax.device_get(
-            (out.crop_bounds, res.has_face, res.annotated, res.flagged,
-             res.similarity, res.counter)
-        )
+        if self.detect_interval > 1:
+            bounds, obox, ohf, hf, ann, flg, sim, cnt = jax.device_get(
+                (out.crop_bounds, out.box, out.has_face, res.has_face,
+                 res.annotated, res.flagged, res.similarity, res.counter)
+            )
+            # roll each stream's seed to its latest detected row; a stream
+            # with no detection this step drops its seed and re-acquires
+            # at the next keyframe step
+            obox = obox.reshape(s, f, 4)
+            ohf = ohf.reshape(s, f)
+            for i in range(s):
+                nv = int(n_valid[i])
+                if nv == 0:
+                    continue
+                det_rows = np.nonzero(ohf[i, :nv])[0]
+                if det_rows.size:
+                    self._seed_box[i] = obox[i, det_rows[-1]]
+                    self._seed_valid[i] = True
+                else:
+                    self._seed_valid[i] = False
+        else:
+            bounds, hf, ann, flg, sim, cnt = jax.device_get(
+                (out.crop_bounds, res.has_face, res.annotated, res.flagged,
+                 res.similarity, res.counter)
+            )
         bounds = bounds.reshape(s, f, 4)
         events: List[StreamEvent] = []
         for i in range(s):
