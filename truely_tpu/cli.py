@@ -400,7 +400,11 @@ def main(argv=None) -> int:
     p.add_argument("--detect-interval", type=int, default=1,
                    help="track-propagated detection for the server's "
                         "analyses: full cascade every K-th sampled frame, "
-                        "seeded refinement between (see analyze)")
+                        "seeded refinement between (see analyze).  At K>1 "
+                        "concurrent-batched jobs score under the streaming "
+                        "propagate cadence, so their decisions may differ "
+                        "from a solo run at the same K (same drift "
+                        "contract); at K=1 concurrency is exact (tested)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard the server's frame batches over the first "
                         "N devices")
