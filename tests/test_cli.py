@@ -212,6 +212,10 @@ def test_serve_detect_interval_plumbs_and_validates(monkeypatch, capsys):
     assert rc == 1
     assert "divisible" in capsys.readouterr().err
 
+    # Multi-face + detect-interval compose (the track-propagated
+    # multi-face path, round 4) — must construct, not be rejected.
     rc = main(["serve", "--multi-face", "--detect-interval", "4"])
-    assert rc == 1
-    assert "single-face" in capsys.readouterr().err
+    assert rc == 0
+    seen["factory"]()
+    assert seen["det_config"].detect_interval == 4
+    assert seen["det_config"].multi_face

@@ -27,13 +27,6 @@ def cmd_analyze(args) -> int:
 
     from truely_tpu.config import MTCNNConfig
 
-    if args.multi_face and args.detect_interval > 1:
-        print(
-            "error: --detect-interval applies to single-face analysis only "
-            "(the multi-face track path runs full detection every frame)",
-            file=sys.stderr,
-        )
-        return 1
     if args.batch % max(1, args.detect_interval):
         print(
             f"error: --batch {args.batch} must be divisible by "
@@ -266,13 +259,6 @@ def cmd_serve(args) -> int:
         print(
             f"error: --batch {args.batch} must be divisible by --dp "
             f"{args.dp}",
-            file=sys.stderr,
-        )
-        return 1
-    if args.multi_face and args.detect_interval > 1:
-        print(
-            "error: --detect-interval applies to single-face analysis only "
-            "(multi-face tracks every frame)",
             file=sys.stderr,
         )
         return 1

@@ -161,8 +161,10 @@ class DetectorConfig:
     # interval is picked up at the next keyframe, <= (K-1) samples late;
     # measured decision impact is in the drift table (PERFORMANCE.md).
     # Keyframes batch across K segments for lane efficiency, so
-    # ``frame_batch`` must be divisible by this.  Parity/golden paths never
-    # set it.
+    # ``frame_batch`` must be divisible by this.  Composes with
+    # ``multi_face``: every track's box seeds its own refinement
+    # candidates between keyframes (refine_faces_multi).  Parity/golden
+    # paths never set it.
     detect_interval: int = 1
     # With detect_interval > 1: re-run full detection on any segment whose
     # refinement lost more than half of its seeded frames (tracking

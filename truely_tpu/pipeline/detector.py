@@ -45,7 +45,8 @@ from truely_tpu.ops.temporal import (
     init_temporal_state, temporal_consistency, weighted_score,
 )
 from truely_tpu.pipeline.mtcnn import (  # noqa: E501
-    MTCNNParams, detect_faces, refine_faces, select_primary_face,
+    MTCNNParams, detect_faces, refine_faces, refine_faces_multi,
+    select_primary_face,
 )
 
 
@@ -236,14 +237,9 @@ def _multiface_step_yuv(params: DetectorParams, packed: jax.Array,
     return _multiface_step(params, frames, cfg, compute_dtype)
 
 
-def _multiface_step(params: DetectorParams, frames: jax.Array,
-                    cfg: DetectorConfig, compute_dtype):
-    """Embed the top-``max_tracks`` faces per frame (BASELINE config 4).
-
-    Returns (boxes (B, T, 4) f32, valid (B, T), embeddings (B, T, 512))."""
-    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
-    t = cfg.max_tracks
-    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+def _multiface_select(det, t: int):
+    """Top-``t`` detections per frame by box area (the multi-face
+    counterpart of ``select_primary_face``'s largest-first rule)."""
     area = (det.boxes[..., 2] - det.boxes[..., 0]) * (
         det.boxes[..., 3] - det.boxes[..., 1]
     )
@@ -251,7 +247,65 @@ def _multiface_step(params: DetectorParams, frames: jax.Array,
     _, idx = jax.lax.top_k(key, t)  # (B, T)
     boxes = jnp.take_along_axis(det.boxes, idx[..., None], axis=1)
     valid = jnp.take_along_axis(det.valid, idx, axis=1)
+    return boxes, valid
 
+
+def _multiface_step(params: DetectorParams, frames: jax.Array,
+                    cfg: DetectorConfig, compute_dtype):
+    """Embed the top-``max_tracks`` faces per frame (BASELINE config 4).
+
+    Returns (boxes (B, T, 4) f32, valid (B, T), embeddings (B, T, 512))."""
+    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+    boxes, valid = _multiface_select(det, cfg.max_tracks)
+    return _multiface_tail(params, frames, boxes, valid, cfg, compute_dtype)
+
+
+def _multiface_step_propagate(params: DetectorParams, frames: jax.Array,
+                              seed_boxes: jax.Array, seed_valid: jax.Array,
+                              cfg: DetectorConfig, compute_dtype):
+    """Track-propagated multi-face step (cfg.detect_interval = K > 1):
+    frames is a chronological batch whose every K-th frame is a keyframe;
+    ``seed_boxes`` (B/K, T, 4) / ``seed_valid`` (B/K, T) hold the keyframe
+    full detections (the full step's own post-selection outputs).
+    Keyframes pass their seeds straight through — their seed IS their own
+    full detection, so keyframe rows are bit-identical to full mode —
+    and the frames between run T-seed stage-2/3 refinement only
+    (pipeline/mtcnn.refine_faces_multi)."""
+    k = cfg.detect_interval
+    b = frames.shape[0]
+    sb = jnp.repeat(seed_boxes, k, axis=0)          # (B, T, 4)
+    sv = jnp.repeat(seed_valid, k, axis=0)          # (B, T)
+    det = refine_faces_multi(
+        params.mtcnn, frames, sb, sv, cfg.mtcnn, dtype=compute_dtype
+    )
+    boxes, valid = _multiface_select(det, cfg.max_tracks)
+    is_kf = (jnp.arange(b) % k) == 0
+    boxes = jnp.where(is_kf[:, None, None], sb, boxes)
+    valid = jnp.where(is_kf[:, None], sv, valid)
+    return _multiface_tail(params, frames, boxes, valid, cfg, compute_dtype)
+
+
+def _multiface_step_propagate_yuv(params: DetectorParams, packed: jax.Array,
+                                  seed_boxes: jax.Array,
+                                  seed_valid: jax.Array,
+                                  cfg: DetectorConfig, compute_dtype):
+    from truely_tpu.ops.yuv import i420_convert
+
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
+    return _multiface_step_propagate(
+        params, frames, seed_boxes, seed_valid, cfg, compute_dtype
+    )
+
+
+def _multiface_tail(params: DetectorParams, frames: jax.Array,
+                    boxes: jax.Array, valid: jax.Array,
+                    cfg: DetectorConfig, compute_dtype):
+    """Clip, crop, and embed the selected (B, T) face boxes — the shared
+    tail of the full and track-propagated multi-face steps (so keyframe
+    rows of the propagate step reproduce the full step bit for bit)."""
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    t = boxes.shape[1]
     bi = boxes.astype(jnp.int32)
     x0 = jnp.maximum(bi[..., 0], 0)
     y0 = jnp.maximum(bi[..., 1], 0)
@@ -279,6 +333,14 @@ def _temporal_step(emb, has_face, n_valid, state, cfg: DetectorConfig):
         similarity_threshold=cfg.similarity_threshold,
         run_length_threshold=cfg.run_length_threshold,
     )
+
+
+class _MemSegment(NamedTuple):
+    """Minimal segment for the in-memory frame paths — just what the
+    upload/propagate orchestration reads (``sampled``, ``n_valid``)."""
+
+    sampled: np.ndarray
+    n_valid: int
 
 
 def _upload_segments(seg_iter, depth: int = 2, sharding=None):
@@ -474,6 +536,16 @@ class Detector:
                     jax.block_until_ready(
                         self._ensure_mstep_yuv()(self.params, packed)
                     )
+                    if self.config.detect_interval > 1:
+                        bk = b // self.config.detect_interval
+                        t = self.config.max_tracks
+                        jax.block_until_ready(
+                            self._ensure_mprop_step(True)(
+                                self.params, packed,
+                                jnp.zeros((bk, t, 4), jnp.float32),
+                                jnp.zeros((bk, t), bool),
+                            )
+                        )
                 else:
                     jax.block_until_ready(
                         self._ensure_yuv_step()(self.params, packed)
@@ -494,6 +566,16 @@ class Detector:
 
             self._ensure_track_jits()
             boxes, valid, emb = self._mstep(self.params, frames)
+            if self.config.detect_interval > 1:
+                bk = b // self.config.detect_interval
+                t = self.config.max_tracks
+                jax.block_until_ready(
+                    self._ensure_mprop_step(False)(
+                        self.params, frames,
+                        jnp.zeros((bk, t, 4), jnp.float32),
+                        jnp.zeros((bk, t), bool),
+                    )
+                )
             state = init_track_state(self.config.max_tracks, emb.shape[-1])
             state, outs = self._track_fold(
                 state, boxes, valid, emb, jnp.int32(b)
@@ -1028,6 +1110,90 @@ class Detector:
             )
         return self._mstep_yuv
 
+    def _ensure_mprop_step(self, yuv: bool):
+        """Lazily-jitted multi-face track-propagated step (compiled only
+        when multi_face + detect_interval > 1 paths actually run)."""
+        attr = "_mstep_prop_yuv" if yuv else "_mstep_prop"
+        if not hasattr(self, attr):
+            fn = (_multiface_step_propagate_yuv if yuv
+                  else _multiface_step_propagate)
+            setattr(
+                self, attr,
+                jax.jit(
+                    partial(
+                        fn, cfg=self.config,
+                        compute_dtype=self._compute_dtype,
+                    ),
+                    **(
+                        {}
+                        if self.mesh is None
+                        # frames DP-sharded; the (B/K, T) seeds are tiny
+                        # and replicated — XLA selects each shard's slice.
+                        else {
+                            "in_shardings": (
+                                None, self._frames_sharding, None, None
+                            )
+                        }
+                    ),
+                ),
+            )
+        return getattr(self, attr)
+
+    def _propagate_m_outputs(self, pair_iter, mstep, refine):
+        """Yield (segment, (boxes, valid, emb)) chronologically with full
+        multi-face detection only on keyframes (detect_interval = K > 1).
+
+        Same macro-cycle orchestration as the single-face
+        ``_propagate_outputs`` (keyframes host-gathered across K segments
+        into ONE full-width batch for lane efficiency — PERFORMANCE.md
+        finding 6), with the T-seed refinement step between keyframes.
+        ``propagate_fallback`` counts seeded (row, track) slots the
+        refinement lost; a segment that lost most of them (tracking
+        collapse, e.g. a scene cut) re-runs full detection."""
+        import itertools
+
+        cfg = self.config
+        k = cfg.detect_interval
+        b = cfg.frame_batch
+        bk = b // k
+        while True:
+            cycle = list(itertools.islice(pair_iter, k))
+            if not cycle:
+                return
+            kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
+            for j, (seg, _dev) in enumerate(cycle):
+                kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
+            s_boxes, s_valid, _ = mstep(
+                self.params, jax.device_put(kf, self._frames_sharding)
+            )
+            sv_host = (
+                np.asarray(s_valid) if cfg.propagate_fallback else None
+            )
+            for j, (seg, dev) in enumerate(cycle):
+                sb = s_boxes[j * bk : (j + 1) * bk]
+                sv = s_valid[j * bk : (j + 1) * bk]
+                out = refine(self.params, dev, sb, sv)
+                if cfg.propagate_fallback:
+                    ok = np.asarray(out[1][: seg.n_valid])      # (n, T)
+                    seeded = np.repeat(
+                        sv_host[j * bk : (j + 1) * bk], k, axis=0
+                    )[: seg.n_valid]
+                    n_seeded = int(seeded.sum())
+                    lost = int((seeded & ~ok).sum())
+                    if n_seeded and lost * 2 > n_seeded:
+                        out = mstep(self.params, dev)
+                yield seg, out
+
+    def _msegment_outputs(self, pair_iter, mstep, yuv: bool):
+        """(segment, (boxes, valid, emb)) stream: plain per-segment full
+        multi-face detection, or the keyframe/refine orchestration when
+        detect_interval > 1."""
+        if self.config.detect_interval > 1:
+            return self._propagate_m_outputs(
+                pair_iter, mstep, self._ensure_mprop_step(yuv)
+            )
+        return ((seg, mstep(self.params, dev)) for seg, dev in pair_iter)
+
     def analyze_frames_tracks(self, frames: np.ndarray, fps: int):
         """Multi-face analysis of an in-memory frame array (BASELINE
         config 4): per-track consistency scoring; the aggregate fake score
@@ -1042,15 +1208,20 @@ class Detector:
         sampled_idx = list(range(0, n, interval))
         state = init_track_state(cfg.max_tracks, self.embedding_dim)
         b = cfg.frame_batch
-        for s in range(0, len(sampled_idx), b):
-            chunk = sampled_idx[s : s + b]
-            stack = np.zeros((b, *frames.shape[1:]), np.uint8)
-            stack[: len(chunk)] = frames[chunk]
-            boxes, valid, emb = self._mstep(
-                self.params, jax.device_put(stack, self._frames_sharding)
-            )
+
+        def seg_iter():
+            for s in range(0, len(sampled_idx), b):
+                chunk = sampled_idx[s : s + b]
+                stack = np.zeros((b, *frames.shape[1:]), np.uint8)
+                stack[: len(chunk)] = frames[chunk]
+                yield _MemSegment(sampled=stack, n_valid=len(chunk))
+
+        for seg, (boxes, valid, emb) in self._msegment_outputs(
+            _upload_segments(seg_iter(), sharding=self._frames_sharding),
+            self._mstep, yuv=False,
+        ):
             state, _ = self._track_fold(
-                state, boxes, valid, emb, jnp.int32(len(chunk))
+                state, boxes, valid, emb, jnp.int32(seg.n_valid)
             )
         per_track = self._track_scores(
             state, jnp.int32(n), jnp.int32(fps)
@@ -1135,15 +1306,17 @@ class Detector:
 
             try:
                 in_flight = None
-                for seg, dev_frames in _upload_segments(
-                    reader.segments(interval, cfg.frame_batch),
-                    sharding=self._frames_sharding,
+                for seg, (boxes, valid, emb) in self._msegment_outputs(
+                    _upload_segments(
+                        reader.segments(interval, cfg.frame_batch),
+                        sharding=self._frames_sharding,
+                    ),
+                    mstep, yuv=reader.yuv_active,
                 ):
                     # Same prompt-failure contract as analyze_video: a dead
                     # writer thread stops the decode/upload loop immediately.
                     if wt is not None and wt.err:
                         break
-                    boxes, valid, emb = mstep(self.params, dev_frames)
                     state, outs = self._track_fold(
                         state, boxes, valid, emb, jnp.int32(seg.n_valid)
                     )

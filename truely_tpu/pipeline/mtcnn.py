@@ -504,6 +504,65 @@ def refine_faces(
     )
 
 
+def refine_faces_multi(
+    params: MTCNNParams,
+    frames: jax.Array,
+    seed_boxes: jax.Array,
+    seed_valid: jax.Array,
+    cfg: Optional[MTCNNConfig] = None,
+    *,
+    dtype=jnp.bfloat16,
+    precision=None,
+) -> Detections:
+    """Track-propagated refinement with T seeds per frame (the multi-face
+    config-4 counterpart of ``refine_faces``).
+
+    Each of the T track seeds spawns ``PROPAGATE_SCALES`` concentric square
+    candidates — a (B, T*C) candidate set — and the UNCHANGED stage-2/3
+    machinery (``_stages23``: same thresholds, NMS modes, bbreg/rerec and
+    landmark semantics) refines, re-scores, and cross-suppresses them.
+    Candidates of different seeds that converge on the same face merge
+    under the ordinary per-frame NMS, exactly as full detection would
+    merge them; invalid seed slots contribute nothing.  The reference has
+    no tracking at all — it re-runs the full cascade per frame and keeps
+    only ``boxes[0]`` (/root/reference/server/model.py:47-49).
+
+    seed_boxes: (B, T, 4) f32; seed_valid: (B, T) bool.
+    """
+    cfg = cfg or MTCNNConfig()
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    t = seed_boxes.shape[1]
+    c = len(PROPAGATE_SCALES)
+
+    sq = rerec(seed_boxes)                       # (B, T, 4)
+    cx = (sq[..., 0] + sq[..., 2]) * 0.5
+    cy = (sq[..., 1] + sq[..., 3]) * 0.5
+    side = sq[..., 2] - sq[..., 0]
+    cands = []
+    for s in PROPAGATE_SCALES:
+        half = side * (0.5 * s)
+        cands.append(
+            jnp.stack([cx - half, cy - half, cx + half, cy + half], axis=-1)
+        )
+    boxes = jnp.stack(cands, axis=2).reshape(b, t * c, 4)  # seed-major
+    valid = jnp.broadcast_to(seed_valid[:, :, None], (b, t, c)).reshape(
+        b, t * c
+    )
+    # Deterministic pre-R-Net gather order: seed-major, tightest scale
+    # first within a seed (same convention as ``refine_faces``).
+    scores = jnp.where(
+        valid,
+        1.0 - 0.01 * jnp.arange(t * c, dtype=jnp.float32)[None, :],
+        0.0,
+    )
+
+    prep = _prep_crop_frames(frames, cfg, dtype=dtype, precision=precision)
+    return _stages23(
+        params, prep, boxes, scores, valid, cfg,
+        w=w, h=h, k2=t * c, k3=t * c, dtype=dtype, precision=precision,
+    )
+
+
 def select_primary_face(
     det: Detections, *, largest: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
