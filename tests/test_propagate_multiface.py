@@ -168,6 +168,69 @@ def test_no_fallback_refined_rows_stand(blurred_frames):
         assert not v.any(), "lossy refinement must stand without fallback"
 
 
+def test_mesh_multiface_propagate_matches_unsharded(blurred_frames):
+    """DP-sharded multi-face propagate (frames split over 'data', the tiny
+    (B/K, T) seeds replicated) is exact vs single-device at K=4 — the
+    sharding mirrors `parallel.sharding.shard_frame_step(multiface=True,
+    propagate=True)` and the driver dryrun's section 2e."""
+    from truely_tpu.parallel.mesh import make_mesh
+
+    cfg = DetectorConfig(frame_batch=8, detect_interval=4, **MT, **F32)
+    solo = Detector(cfg)
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sharded = Detector(cfg, mesh=mesh)
+    score_a, per_a, state_a = solo.analyze_frames_tracks(blurred_frames, fps=10)
+    score_b, per_b, state_b = sharded.analyze_frames_tracks(
+        blurred_frames, fps=10
+    )
+    assert score_b == score_a
+    assert np.array_equal(per_a, per_b)
+    # Discrete state (counters, validity, ids) must match exactly; carried
+    # float state (boxes, embeddings) is allclose-tight — the SPMD compile
+    # lowers the refine convs at per-shard batch 2 with different FMA
+    # ordering than the 8-row local compile, a last-ULP effect that never
+    # moves a decision (scores above are exact).
+    for a, b in zip(_state_tuple(state_a), _state_tuple(state_b)):
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        else:
+            assert np.array_equal(a, b)
+
+
+def test_shard_frame_step_multiface_matches_local(blurred_frames):
+    """The public `shard_frame_step(multiface=True)` surfaces (full and
+    propagate) return exactly what the local jits return."""
+    from truely_tpu.parallel.mesh import make_mesh
+    from truely_tpu.parallel.sharding import replicate, shard_frame_step
+
+    cfg = DetectorConfig(frame_batch=8, detect_interval=4, **MT, **F32)
+    det = Detector(cfg)
+    det._ensure_track_jits()
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    params = replicate(mesh, det.params)
+    stack = jnp.asarray(blurred_frames[:8])
+
+    # Validity (the decisions) must match exactly; boxes/embeddings are
+    # allclose-tight (SPMD lowers the convs at per-shard batch 2 with
+    # different FMA ordering than the local 8-row compile — last-ULP only).
+    full = shard_frame_step(mesh, cfg, multiface=True)
+    lb, lv, le = map(np.asarray, det._mstep(det.params, stack))
+    sb, sv, se = map(np.asarray, full(params, stack))
+    assert np.array_equal(sv, lv)
+    np.testing.assert_allclose(sb, lb, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(se, le, rtol=1e-5, atol=1e-5)
+
+    prop = shard_frame_step(mesh, cfg, multiface=True, propagate=True)
+    seeds, svalid = jnp.asarray(lb[::4]), jnp.asarray(lv[::4])
+    pl = list(map(np.asarray, det._ensure_mprop_step(False)(
+        det.params, stack, seeds, svalid
+    )))
+    ps = list(map(np.asarray, prop(params, stack, seeds, svalid)))
+    assert np.array_equal(ps[1], pl[1])
+    np.testing.assert_allclose(ps[0], pl[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ps[2], pl[2], rtol=1e-5, atol=1e-5)
+
+
 def test_analyze_video_matches_frames_at_k4(tmp_path, blurred_frames):
     # The video path runs the macro-cycle orchestration over real decode
     # segments (keyframes host-gathered across K uploaded segments); it

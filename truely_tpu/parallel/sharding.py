@@ -62,6 +62,7 @@ def shard_frame_step(
     yuv: bool = False,
     propagate: bool = False,
     refine_rows: Optional[int] = None,
+    multiface: bool = False,
 ):
     """jit the per-batch detector step with the frame axis sharded over
     ``data_axis``.  Returns fn(params, frames) with frames (B, H, W, 3) —
@@ -70,14 +71,40 @@ def shard_frame_step(
     by the data-axis size.  ``propagate=True`` returns the track-propagated
     refinement step fn(params, frames, seed_boxes, seed_valid) instead
     (config.detect_interval > 1): frames stay DP-sharded, the tiny (B/K,)
-    seeds replicate, and XLA selects each shard's slice of the broadcast."""
+    seeds replicate, and XLA selects each shard's slice of the broadcast.
+    ``multiface=True`` selects the per-track steps (BASELINE config 4):
+    the full step returns (boxes (B,T,4), valid (B,T), emb (B,T,512)) and
+    the propagate step takes (B/K, T)-shaped seeds."""
     from truely_tpu.pipeline.detector import (
         _frame_step_propagate, _frame_step_propagate_yuv,
         _frame_step_refine, _frame_step_refine_yuv, _frame_step_yuv,
+        _multiface_step, _multiface_step_propagate,
+        _multiface_step_propagate_yuv, _multiface_step_yuv,
     )
 
     config = config or DetectorConfig()
     compute_dtype = jnp.dtype(config.compute_dtype)
+    if multiface:
+        if refine_rows:
+            raise ValueError(
+                "refine_rows is the single-face stream mode; multi-face "
+                "streams propagate via the (B/K, T)-seeded propagate step"
+            )
+        frames_sharding = NamedSharding(mesh, P(data_axis))
+        if propagate:
+            fn = partial(
+                _multiface_step_propagate_yuv if yuv
+                else _multiface_step_propagate,
+                cfg=config, compute_dtype=compute_dtype,
+            )
+            return jax.jit(
+                fn, in_shardings=(None, frames_sharding, None, None)
+            )
+        fn = partial(
+            _multiface_step_yuv if yuv else _multiface_step,
+            cfg=config, compute_dtype=compute_dtype,
+        )
+        return jax.jit(fn, in_shardings=(None, frames_sharding))
     if refine_rows:
         # StreamScheduler propagate mode: every row refines from its
         # stream's carried seed (no keyframe rows — keyframes are whole
