@@ -25,8 +25,14 @@ from truely_tpu.utils.profiling import measure_forced  # noqa: E402
 def main():
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 128
-    h, w = 1080, 1920
-    cfg = DetectorConfig(frame_batch=batch)
+    k = int(sys.argv[sys.argv.index("--propagate") + 1]) \
+        if "--propagate" in sys.argv else 0
+    h, w = (
+        map(int, sys.argv[sys.argv.index("--res") + 1].split("x"))
+        if "--res" in sys.argv else (1080, 1920)
+    )
+    cfg = DetectorConfig(frame_batch=batch,
+                         detect_interval=max(1, k), multi_face=bool(k))
     det = Detector(cfg)
     rng = np.random.default_rng(0)
     frames = jax.device_put(jnp.asarray(
@@ -43,10 +49,45 @@ def main():
     fps = batch / per
     print(
         f"multiface step (cascade + top-{cfg.max_tracks} embeds) b{batch} "
-        f"1080p: {per*1e3:.1f} ms/step = {fps:.0f} sampled fps "
+        f"{h}p: {per*1e3:.1f} ms/step = {fps:.0f} sampled fps "
         f"= {fps * 4:.0f} video fps/chip",
         flush=True,
     )
+
+    if k:
+        # Track-propagated multi-face: keyframe rows pass seeds through,
+        # the K-1 rows between run T-seed stage-2/3 refinement only
+        # (_multiface_step_propagate).  Seeds here are synthetic plausible
+        # boxes — the graph cost is shape-, not value-, dependent.
+        from truely_tpu.pipeline.detector import _multiface_step_propagate
+
+        t = cfg.max_tracks
+        seeds = jax.device_put(jnp.asarray(
+            rng.uniform(100, 500, (batch // k, t, 4)), jnp.float32))
+        sv = jax.device_put(jnp.ones((batch // k, t), bool))
+        pstep = jax.jit(partial(
+            _multiface_step_propagate, det.params,
+            seed_boxes=seeds, seed_valid=sv,
+            cfg=cfg, compute_dtype=det._compute_dtype,
+        ))
+        per_p = measure_forced(
+            lambda x: pstep(frames=x)[2], frames, n_lo=2, n_hi=5, trials=3,
+        )
+        fps_p = batch / per_p
+        # Macro-cycle accounting (_propagate_m_outputs): per cycle of K
+        # segments, ONE full step on the gathered keyframe batch plus one
+        # propagate step per segment => amortized per-segment cost
+        # (per_full + K * per_prop) / K.
+        amort = (per + k * per_p) / k
+        print(
+            f"multiface PROPAGATE step (T-seed refine, K={k}) b{batch} "
+            f"{h}p: {per_p*1e3:.1f} ms/step = {fps_p:.0f} sampled fps; "
+            f"macro-cycle amortized {amort*1e3:.1f} ms/segment "
+            f"= {batch/amort:.0f} sampled fps "
+            f"= {4*batch/amort:.0f} video fps/chip",
+            flush=True,
+        )
+        return
 
     det._ensure_track_jits()
     from truely_tpu.pipeline.tracks import init_track_state
