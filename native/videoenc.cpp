@@ -87,12 +87,23 @@ int drain(Enc* e) {
 PyObject* ve_open(PyObject*, PyObject* args) {
     const char* path;
     int w, h, fps_num, fps_den;
-    if (!PyArg_ParseTuple(args, "siiii", &path, &w, &h, &fps_num, &fps_den)) {
+    // Optional encoder ladder knobs (scripts/bench_x264.py measures the
+    // preset x crf x threads x slices grid; production default stays
+    // ultrafast/23/auto — PERFORMANCE.md "annotated path").
+    const char* preset = "ultrafast";
+    int crf = 23, threads = 0, slices = 0;
+    if (!PyArg_ParseTuple(args, "siiii|siii", &path, &w, &h, &fps_num,
+                          &fps_den, &preset, &crf, &threads, &slices)) {
         return nullptr;
     }
     if (w <= 0 || h <= 0 || (w % 2) || (h % 2) || fps_num <= 0 || fps_den <= 0) {
         PyErr_SetString(PyExc_ValueError,
                         "videoenc: even positive dims and positive fps required");
+        return nullptr;
+    }
+    if (crf < 0 || crf > 51 || threads < 0 || slices < 0) {
+        PyErr_SetString(PyExc_ValueError,
+                        "videoenc: crf in [0,51], threads/slices >= 0");
         return nullptr;
     }
 
@@ -119,10 +130,20 @@ PyObject* ve_open(PyObject*, PyObject* args) {
         e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
         e->ctx->time_base = AVRational{fps_den, fps_num};
         e->ctx->framerate = AVRational{fps_num, fps_den};
-        // Single-pass quality encode tuned for the 1-core host: ultrafast
-        // still beats mp4v on quality-per-bit by a wide margin.
-        av_opt_set(e->ctx->priv_data, "preset", "ultrafast", 0);
-        av_opt_set(e->ctx->priv_data, "crf", "23", 0);
+        // Single-pass quality encode; default ultrafast/crf 23 (still
+        // beats mp4v on quality-per-bit by a wide margin).  threads=0
+        // leaves x264's auto frame-threading (cores); slices>0 switches
+        // to sliced-threads (lower latency, slightly worse compression).
+        av_opt_set(e->ctx->priv_data, "preset", preset, 0);
+        char crf_s[8];
+        snprintf(crf_s, sizeof crf_s, "%d", crf);
+        av_opt_set(e->ctx->priv_data, "crf", crf_s, 0);
+        if (threads > 0) e->ctx->thread_count = threads;
+        if (slices > 0) {
+            av_opt_set_int(e->ctx->priv_data, "slices", slices, 0);
+            av_opt_set(e->ctx->priv_data, "x264-params",
+                       "sliced-threads=1", 0);
+        }
         if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
             e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
         err = avcodec_open2(e->ctx, codec, nullptr);
@@ -319,7 +340,8 @@ PyObject* ve_close(PyObject*, PyObject* args) {
 
 PyMethodDef methods[] = {
     {"open", ve_open, METH_VARARGS,
-     "open(path, width, height, fps_num, fps_den) -> handle"},
+     "open(path, width, height, fps_num, fps_den"
+     "[, preset, crf, threads, slices]) -> handle"},
     {"write", ve_write, METH_VARARGS,
      "write(handle, frame): encode one (H, W, 3) uint8 BGR frame"},
     {"write_i420", ve_write_i420, METH_VARARGS,

@@ -28,11 +28,21 @@
 #
 # Usage:  bash scripts/fetch_and_convert.sh [checkpoint_dir] [weights_out]
 # Defaults: ~/.cache/truely_tpu_ckpts  and  ./weights
+#
+# Mock-mode drill (tests/test_runbook.py keeps this path working so the
+# FIRST networked minute converts weights with no debugging): pre-place
+# fake artifacts in checkpoint_dir (curl is skipped for present files) and
+# set  TRUELY_TPU_RUNBOOK_MANIFEST=<path>  to pin/verify hashes somewhere
+# other than the committed scripts/SHA256SUMS.facenet, plus
+# TRUELY_TPU_RUNBOOK_GATES=skip  to stop after the conversion (the gates
+# need real weights to mean anything).
 set -euo pipefail
 
 CKPT_DIR="${1:-$HOME/.cache/truely_tpu_ckpts}"
 OUT_DIR="${2:-weights}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MANIFEST_PIN="${TRUELY_TPU_RUNBOOK_MANIFEST:-$REPO/scripts/SHA256SUMS.facenet}"
+GATES="${TRUELY_TPU_RUNBOOK_GATES:-full}"
 
 BASE_STAGES="https://github.com/timesler/facenet-pytorch/raw/master/data"
 FACENET_URL="https://github.com/timesler/facenet-pytorch/releases/download/v2.2.9/20180402-114759-vggface2.pt"
@@ -47,12 +57,12 @@ done
 
 # SHA-256: verify against the committed manifest if present, else pin it.
 MANIFEST="$CKPT_DIR/SHA256SUMS"
-if [ -f "$REPO/scripts/SHA256SUMS.facenet" ]; then
-  (cd "$CKPT_DIR" && sha256sum -c "$REPO/scripts/SHA256SUMS.facenet")
+if [ -f "$MANIFEST_PIN" ]; then
+  (cd "$CKPT_DIR" && sha256sum -c "$MANIFEST_PIN")
 else
   (cd "$CKPT_DIR" && sha256sum "${ARTIFACTS[@]}" | tee "$MANIFEST")
-  cp "$MANIFEST" "$REPO/scripts/SHA256SUMS.facenet"
-  echo ">> pinned $REPO/scripts/SHA256SUMS.facenet — commit this file"
+  cp "$MANIFEST" "$MANIFEST_PIN"
+  echo ">> pinned $MANIFEST_PIN — commit this file"
 fi
 
 python "$REPO/scripts/convert_facenet_weights.py" \
@@ -63,6 +73,11 @@ python "$REPO/scripts/convert_facenet_weights.py" \
 
 export TRUELY_TPU_WEIGHTS="$OUT_DIR"
 export TRUELY_TPU_TORCH_CKPTS="$CKPT_DIR"
+
+if [ "$GATES" = "skip" ]; then
+  echo ">> gates skipped (TRUELY_TPU_RUNBOOK_GATES=skip — mock-mode drill)"
+  exit 0
+fi
 
 echo ">> gate a: real-weight golden (records on first run, pins after)"
 python -m pytest "$REPO/tests/test_realweights.py" -q || true

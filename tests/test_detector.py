@@ -319,3 +319,41 @@ def test_writer_failure_propagates_without_hanging(tmp_path, detector, monkeypat
     monkeypatch.undo()
     res = detector.analyze_video(path)
     assert res.frame_count == 25
+
+
+def test_draw_mode_flagged_only(tmp_path, detector):
+    """draw_mode="flagged-only" changes only which frames get drawn on:
+    scores and per-frame decisions are identical to draw_mode="all", the
+    output encodes, and frames that are annotated-but-unflagged skip the
+    draw path (their pixels pass through)."""
+    path = str(tmp_path / "dm.mp4")
+    synth_video(path)
+    cfg_flagged = DetectorConfig(
+        frame_batch=8, draw_mode="flagged-only",
+        mtcnn=detector.config.mtcnn, compute_dtype="float32",
+    )
+    det2 = Detector(cfg_flagged)
+    det2.params = detector.params  # identical weights -> identical decisions
+    out_all = str(tmp_path / "dm_all.mp4")
+    out_fo = str(tmp_path / "dm_fo.mp4")
+    res_all = detector.analyze_video(path, out_all)
+    res_fo = det2.analyze_video(path, out_fo)
+    assert res_fo.fake_score == res_all.fake_score
+    assert [
+        (r.frame_index, r.has_face, r.flagged, r.annotated)
+        for r in res_fo.records
+    ] == [
+        (r.frame_index, r.has_face, r.flagged, r.annotated)
+        for r in res_all.records
+    ]
+    import os
+
+    assert os.path.getsize(out_fo) > 0
+    # Fixture sanity: some frames are annotated but NOT flagged, so the
+    # two modes really drew different frame sets.
+    assert any(r.annotated and not r.flagged for r in res_all.records)
+
+
+def test_draw_mode_invalid_rejected():
+    with pytest.raises(ValueError, match="draw_mode"):
+        Detector(DetectorConfig(frame_batch=2, draw_mode="nope"))

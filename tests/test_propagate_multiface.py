@@ -270,4 +270,6 @@ def test_analyze_video_matches_frames_at_k4(tmp_path, blurred_frames):
     import os
 
     assert os.path.getsize(out_path) > 0
-    assert np.asarray(v_state.processed).sum() >= 0  # state well-formed
+    # Non-vacuous fixture: some track actually accumulated consecutive-
+    # frame updates (otherwise the state equalities above prove nothing).
+    assert np.asarray(v_state.processed).sum() > 0

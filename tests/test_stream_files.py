@@ -165,3 +165,76 @@ def test_stream_cli_sample_hz(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload[0]["processedFrames"] == 4  # frames 0,2,4,6
     assert "p50LagMs" in payload[0] and "p95LagMs" in payload[0]
+
+
+# ---------------------------------------------------------------------------
+# Multi-face streaming (configs 4 x 5 composed): per-stream per-track
+# results must equal solo analyze_video_multiface exactly.
+
+
+@pytest.fixture(scope="module")
+def mf_detector():
+    cfg = DetectorConfig(
+        frame_batch=8, multi_face=True, max_tracks=3,
+        mtcnn=MTCNNConfig(
+            pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+            thresholds=(0.5, 0.3, 0.2),
+        ),
+        compute_dtype="float32",
+    )
+    return Detector(cfg)
+
+
+def test_stream_multiface_matches_solo(tmp_path, mf_detector):
+    """Concurrent multi-face streams: per-track scores and the aggregate
+    equal each video's solo analyze_video_multiface (the VERDICT r4
+    exactness contract for the configs-4x5 composition)."""
+    paths = [synth_clip(str(tmp_path / f"mf{i}.mp4"), seed=40 + i, n=16)
+             for i in range(2)]
+    solos = [mf_detector.analyze_video_multiface(p) for p in paths]
+    events = []
+    summaries = stream_videos(
+        mf_detector, paths, frames_per_stream=4, on_event=events.append
+    )
+    for s, (solo_score, solo_tracks, _) in zip(summaries, solos):
+        assert s.fake_score == solo_score
+        assert s.track_scores == [int(v) for v in solo_tracks]
+    assert len(events) == sum(s.processed for s in summaries)
+    assert all(hasattr(e, "track_boxes") for e in events)
+
+
+def test_batch_annotated_multiface(tmp_path, mf_detector):
+    """analyze_videos_annotated with a multi-face detector: shared device
+    batches, per-track scores in the results, non-empty annotated outputs
+    (per-track red/green re-render)."""
+    from truely_tpu.pipeline.batch import analyze_videos_annotated
+
+    paths = [synth_clip(str(tmp_path / f"ma{i}.mp4"), seed=50 + i, n=16)
+             for i in range(2)]
+    outs = [str(tmp_path / f"ma{i}_out.mp4") for i in range(2)]
+    solos = [mf_detector.analyze_video_multiface(p) for p in paths]
+    results = analyze_videos_annotated(mf_detector, paths, outs)
+    import os
+
+    for r, o, (solo_score, solo_tracks, _) in zip(results, outs, solos):
+        assert r.fake_score == solo_score
+        assert r.track_scores == [int(v) for v in solo_tracks]
+        assert r.output_path == o
+        assert os.path.getsize(o) > 0
+
+
+def test_stream_cli_multiface(tmp_path, capsys):
+    paths = [synth_clip(str(tmp_path / f"mc{i}.mp4"), seed=60 + i, n=8)
+             for i in range(2)]
+    rc = main(["stream", *paths, "--batch", "4", "--events", "--compact",
+               "--multi-face"])
+    assert rc == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out_lines[-1])
+    assert len(payload) == 2
+    for entry in payload:
+        assert "trackScores" in entry
+        assert entry["fakeScore"] == max(entry["trackScores"], default=0)
+    event_lines = [json.loads(x) for x in out_lines[:-1]]
+    assert len(event_lines) == sum(e["processedFrames"] for e in payload)
+    assert all("tracks" in e for e in event_lines)

@@ -42,6 +42,7 @@ def cmd_analyze(args) -> int:
         yuv_ingest=not args.no_yuv,
         detect_interval=args.detect_interval,
         propagate_fallback=not args.no_propagate_fallback,
+        draw_mode=args.draw,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -142,6 +143,7 @@ def cmd_stream(args) -> int:
         yuv_ingest=not args.no_yuv,
         sample_hz=args.sample_hz,
         detect_interval=args.detect_interval,
+        multi_face=args.multi_face,
         mtcnn=MTCNNConfig(
             pyramid_cascade=not args.exact_pyramid,
             stage_crop_quant=args.crop_quant,
@@ -166,6 +168,23 @@ def cmd_stream(args) -> int:
     detector = Detector(config, weights_dir=args.weights, mesh=mesh)
 
     def emit(e):
+        if args.multi_face:
+            print(json.dumps({
+                "stream": e.stream_id,
+                "frame": e.frame_index,
+                "flagged": e.flagged,
+                "tracks": [
+                    {
+                        "updated": bool(e.track_updated[t]),
+                        "flagged": bool(e.track_flagged[t]),
+                        "similarity": round(float(e.track_sim[t]), 6),
+                        "box": [round(float(v), 1) for v in e.track_boxes[t]],
+                    }
+                    for t in range(len(e.track_updated))
+                    if e.track_active[t]
+                ],
+            }), flush=True)
+            return
         print(json.dumps({
             "stream": e.stream_id,
             "frame": e.frame_index,
@@ -200,6 +219,11 @@ def cmd_stream(args) -> int:
         {
             "path": s.path,
             "fakeScore": s.fake_score,
+            **(
+                {"trackScores": s.track_scores}
+                if s.track_scores is not None
+                else {}
+            ),
             "frameCount": s.frame_count,
             "fps": s.fps,
             "processedFrames": s.processed,
@@ -311,6 +335,14 @@ def main(argv=None) -> int:
                    help="score every tracked face (aggregate = max over "
                         "tracks) instead of the reference's first face "
                         "only; prints per-track scores")
+    p.add_argument("--draw", choices=("all", "flagged-only"), default="all",
+                   help="annotated-output draw policy: 'all' = the "
+                        "reference contract (red/green box on every "
+                        "sampled frame with a face); 'flagged-only' = red "
+                        "boxes on flagged frames only, so clean frames "
+                        "re-encode straight from the decoded I420 planes "
+                        "(cuts the host annotate/convert cost; decisions "
+                        "identical)")
     p.add_argument("--detect-interval", type=int, default=1,
                    help="track-propagated detection: run the full pyramid+"
                         "P-Net cascade only every K-th sampled frame and "
@@ -351,6 +383,11 @@ def main(argv=None) -> int:
                         "K-th scheduler step, per-stream seeded "
                         "refinement between (O-Net re-scores every frame; "
                         "lost faces re-acquire at the next keyframe step)")
+    p.add_argument("--multi-face", action="store_true",
+                   help="per-track scoring for every stream (BASELINE "
+                        "config 4 composed with streaming): events carry "
+                        "per-track boxes/flags, summaries per-track "
+                        "scores; aggregate = max over tracks")
     p.add_argument("--partial-budget", type=float, default=0.0,
                    help="realtime only: defer a partial batch until its "
                         "oldest queued frame is this many seconds old "

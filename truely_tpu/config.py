@@ -121,6 +121,15 @@ class DetectorConfig:
     # Draw the 68-point landmark head's output on annotated frames
     # (BASELINE config 2).
     draw_landmarks: bool = False
+    # Which frames get boxes drawn in the annotated output video:
+    # "all" = the reference contract (red/green on EVERY sampled frame
+    # with a face, server/model.py:67-74); "flagged-only" = red boxes on
+    # flagged frames only, so clean frames skip the i420→BGR→draw→encode
+    # conversion path entirely and re-encode straight from the decoded
+    # I420 planes (write_i420) — a corrected-mode host-cost lever for the
+    # annotated path (PERFORMANCE.md "annotated path"); detection /
+    # scoring decisions are identical in both modes.
+    draw_mode: str = "all"
     # Use the Pallas face-crop kernel (ops/crop_pallas.py) instead of the
     # XLA gather path.  Same semantics within f32 rounding.  Measured on
     # v5e: ~25% faster standalone on large crops (≥ quarter-frame boxes,
@@ -167,8 +176,11 @@ class DetectorConfig:
     # paths never set it.
     detect_interval: int = 1
     # With detect_interval > 1: re-run full detection on any segment whose
-    # refinement lost more than half of its seeded frames (tracking
-    # collapse — fast motion, scene cut).  Costs one host sync per segment
+    # refinement lost more than half of its seeded slots (tracking
+    # collapse — fast motion, scene cut).  Single-face counts seeded
+    # FRAMES; multi-face counts seeded (row, track) SLOTS — a subtly
+    # stricter denominator when frames carry varying track counts (see
+    # Detector._propagate_m_outputs).  Costs one host sync per segment
     # (~round-trip latency, negligible on PCIe hosts); disable for maximum
     # throughput where the K-sample re-acquisition latency is acceptable.
     propagate_fallback: bool = True

@@ -27,7 +27,14 @@ _CODEC_PREFERENCE: Sequence[str] = ("avc1", "H264", "mp4v")
 
 
 class VideoWriter:
-    def __init__(self, path: str, fps: float, width: int, height: int):
+    def __init__(self, path: str, fps: float, width: int, height: int,
+                 *, preset: Optional[str] = None, crf: Optional[int] = None,
+                 threads: Optional[int] = None,
+                 slices: Optional[int] = None):
+        """``preset``/``crf``/``threads``/``slices`` tune the native x264
+        encoder (native writer only; the cv2 fallback ignores them) — the
+        ladder scripts/bench_x264.py measures.  Defaults: ultrafast /
+        crf 23 / auto frame-threads / no slicing."""
         self.path = path
         self._writer: Optional[cv2.VideoWriter] = None
         self._native = None
@@ -45,7 +52,13 @@ class VideoWriter:
                     if abs(fps - round(fps)) < 1e-6
                     else (int(round(fps * 1001)), 1001)
                 )
-                self._native = _venc.open(path, width, height, fps_num, fps_den)
+                self._native = _venc.open(
+                    path, width, height, fps_num, fps_den,
+                    preset or "ultrafast",
+                    23 if crf is None else int(crf),
+                    0 if threads is None else int(threads),
+                    0 if slices is None else int(slices),
+                )
                 self.codec = "h264"
                 return
             except Exception:

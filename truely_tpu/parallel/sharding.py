@@ -73,24 +73,35 @@ def shard_frame_step(
     (config.detect_interval > 1): frames stay DP-sharded, the tiny (B/K,)
     seeds replicate, and XLA selects each shard's slice of the broadcast.
     ``multiface=True`` selects the per-track steps (BASELINE config 4):
-    the full step returns (boxes (B,T,4), valid (B,T), emb (B,T,512)) and
-    the propagate step takes (B/K, T)-shaped seeds."""
+    the full step returns (boxes (B,T,4), valid (B,T), emb (B,T,512)), the
+    propagate step takes (B/K, T)-shaped seeds, and ``refine_rows=F``
+    selects the StreamScheduler's (S, T)-seeded all-rows refinement."""
     from truely_tpu.pipeline.detector import (
         _frame_step_propagate, _frame_step_propagate_yuv,
         _frame_step_refine, _frame_step_refine_yuv, _frame_step_yuv,
         _multiface_step, _multiface_step_propagate,
-        _multiface_step_propagate_yuv, _multiface_step_yuv,
+        _multiface_step_propagate_yuv, _multiface_step_refine,
+        _multiface_step_refine_yuv, _multiface_step_yuv,
     )
 
     config = config or DetectorConfig()
     compute_dtype = jnp.dtype(config.compute_dtype)
     if multiface:
-        if refine_rows:
-            raise ValueError(
-                "refine_rows is the single-face stream mode; multi-face "
-                "streams propagate via the (B/K, T)-seeded propagate step"
-            )
         frames_sharding = NamedSharding(mesh, P(data_axis))
+        if refine_rows:
+            # StreamScheduler multi-face propagate mode: every row refines
+            # from its stream's (T,) track seeds (no keyframe rows —
+            # keyframes are whole scheduler steps).  frames DP-sharded,
+            # (S, T) seeds replicated.
+            fn = partial(
+                _multiface_step_refine_yuv if yuv
+                else _multiface_step_refine,
+                cfg=config, compute_dtype=compute_dtype,
+                rows_per_seed=refine_rows,
+            )
+            return jax.jit(
+                fn, in_shardings=(None, frames_sharding, None, None)
+            )
         if propagate:
             fn = partial(
                 _multiface_step_propagate_yuv if yuv

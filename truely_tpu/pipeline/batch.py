@@ -27,6 +27,8 @@ class BatchVideoResult:
     flagged_count: int
     suspicious_frames: List[int]
     output_path: Optional[str] = None
+    # Multi-face mode only: per-track scores (fake_score = max over tracks).
+    track_scores: Optional[List[int]] = None
 
 
 def analyze_videos(
@@ -64,17 +66,47 @@ def analyze_videos(
     ]
 
 
+def _event_drawn(e, flagged_only: bool) -> bool:
+    """Whether this event gets any box drawn (same conditions the solo
+    writers use, incl. the draw_mode="flagged-only" host-cost lever)."""
+    if not e.annotated:
+        return False
+    return not flagged_only or e.flagged
+
+
+def _draw_event(px, e, idx: int, rgb: bool, flagged_only: bool) -> None:
+    """Draw one event's annotations: per-track boxes for multi-face events
+    (same updated-track condition analyze_video_multiface draws under),
+    the single box otherwise."""
+    from truely_tpu.media.overlay import annotate_frame
+
+    boxes = getattr(e, "track_boxes", None)
+    if boxes is not None:
+        for t, box in enumerate(boxes):
+            if e.track_updated[t] and (
+                not flagged_only or e.track_flagged[t]
+            ):
+                annotate_frame(
+                    px, box, flagged=bool(e.track_flagged[t]),
+                    frame_index=idx, rgb=rgb,
+                )
+    else:
+        annotate_frame(px, e.box, flagged=e.flagged, frame_index=idx,
+                       rgb=rgb)
+
+
 def render_annotated(config, path: str, output_path: str, events) -> None:
     """Re-render one video with the red/green annotations implied by its
-    stream events (host-only: decode → draw on annotated sampled frames →
-    encode; untouched frames pass through as I420 when eligible, exactly
-    like Detector.analyze_video's writer path)."""
+    stream events — single-face StreamEvent or per-track
+    MultiFaceStreamEvent — (host-only: decode → draw on annotated sampled
+    frames → encode; untouched frames pass through as I420 when eligible,
+    exactly like Detector.analyze_video's writer path)."""
     from truely_tpu.media.decode import VideoReader
     from truely_tpu.media.encode import VideoWriter
     from truely_tpu.media.native import i420_to_bgr_host
-    from truely_tpu.media.overlay import annotate_frame
 
     rgb = not config.reference_compat
+    flagged_only = getattr(config, "draw_mode", "all") == "flagged-only"
     with VideoReader(
         path, rgb=rgb, yuv=config.yuv_ingest, host_frames=True
     ) as reader:
@@ -85,13 +117,11 @@ def render_annotated(config, path: str, output_path: str, events) -> None:
             if reader.yuv_active:
                 for idx, packed in reader.yuv_frames():
                     e = events.get(idx)
-                    if e is None or not e.annotated:
+                    if e is None or not _event_drawn(e, flagged_only):
                         writer.write_i420(packed)
                         continue
                     px = i420_to_bgr_host(packed, rgb=rgb)
-                    annotate_frame(
-                        px, e.box, flagged=e.flagged, frame_index=idx, rgb=rgb
-                    )
+                    _draw_event(px, e, idx, rgb, flagged_only)
                     writer.write(
                         px if config.reference_compat
                         else np.ascontiguousarray(px[..., ::-1])
@@ -99,11 +129,8 @@ def render_annotated(config, path: str, output_path: str, events) -> None:
             else:
                 for idx, frame in reader.frames():
                     e = events.get(idx)
-                    if e is not None and e.annotated:
-                        annotate_frame(
-                            frame, e.box, flagged=e.flagged,
-                            frame_index=idx, rgb=rgb,
-                        )
+                    if e is not None and _event_drawn(e, flagged_only):
+                        _draw_event(frame, e, idx, rgb, flagged_only)
                     writer.write(
                         frame if config.reference_compat
                         else np.ascontiguousarray(frame[..., ::-1])
@@ -126,7 +153,12 @@ def analyze_videos_annotated(
     property), and annotation becomes a host-only re-render from the
     recorded per-frame events.  N concurrent server jobs therefore share
     device batches instead of serializing N full analyses (the reference
-    runs strictly one at a time, server/server.py:611)."""
+    runs strictly one at a time, server/server.py:611).
+
+    Composes with multi-face detectors (config.multi_face): the scheduler
+    runs its per-track mode, results carry per-track scores, and the
+    re-render draws every updated track's red/green box — exactly the solo
+    ``analyze_video_multiface`` output contract, now batched over jobs."""
     from truely_tpu.pipeline.stream_files import stream_videos
 
     assert len(paths) == len(output_paths)
@@ -151,6 +183,7 @@ def analyze_videos_annotated(
                 flagged_count=s.flagged_count,
                 suspicious_frames=s.suspicious_frames,
                 output_path=opath,
+                track_scores=s.track_scores,
             )
         )
     return out

@@ -285,6 +285,41 @@ def _multiface_step_propagate(params: DetectorParams, frames: jax.Array,
     return _multiface_tail(params, frames, boxes, valid, cfg, compute_dtype)
 
 
+def _multiface_step_refine(params: DetectorParams, frames: jax.Array,
+                           seed_boxes: jax.Array, seed_valid: jax.Array,
+                           cfg: DetectorConfig, compute_dtype,
+                           rows_per_seed: int):
+    """Seeded multi-face refinement of EVERY row (the StreamScheduler's
+    multi-face propagate step, cfg.detect_interval = K > 1): frames is
+    (S * rows_per_seed, ...) grouped per stream; ``seed_boxes`` (S, T, 4) /
+    ``seed_valid`` (S, T) are each stream's carried per-track seeds.  Like
+    the single-face ``_frame_step_refine`` there are no keyframe rows —
+    keyframes are whole scheduler STEPS — so every row runs the full T-seed
+    stage-2/3 re-scoring (pipeline/mtcnn.refine_faces_multi) and stale
+    seeds are re-checked (and can be rejected) on every sampled frame."""
+    sb = jnp.repeat(seed_boxes, rows_per_seed, axis=0)   # (S*F, T, 4)
+    sv = jnp.repeat(seed_valid, rows_per_seed, axis=0)   # (S*F, T)
+    det = refine_faces_multi(
+        params.mtcnn, frames, sb, sv, cfg.mtcnn, dtype=compute_dtype
+    )
+    boxes, valid = _multiface_select(det, cfg.max_tracks)
+    return _multiface_tail(params, frames, boxes, valid, cfg, compute_dtype)
+
+
+def _multiface_step_refine_yuv(params: DetectorParams, packed: jax.Array,
+                               seed_boxes: jax.Array, seed_valid: jax.Array,
+                               cfg: DetectorConfig, compute_dtype,
+                               rows_per_seed: int):
+    from truely_tpu.ops.yuv import i420_convert
+
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
+    return _multiface_step_refine(
+        params, frames, seed_boxes, seed_valid, cfg, compute_dtype,
+        rows_per_seed,
+    )
+
+
 def _multiface_step_propagate_yuv(params: DetectorParams, packed: jax.Array,
                                   seed_boxes: jax.Array,
                                   seed_valid: jax.Array,
@@ -449,6 +484,11 @@ class Detector:
         k = self.config.detect_interval
         if k < 1:
             raise ValueError(f"detect_interval must be >= 1, got {k}")
+        if self.config.draw_mode not in ("all", "flagged-only"):
+            raise ValueError(
+                f"draw_mode must be 'all' or 'flagged-only', got "
+                f"{self.config.draw_mode!r}"
+            )
         if k > 1 and self.config.frame_batch % k:
             raise ValueError(
                 f"frame_batch ({self.config.frame_batch}) must be divisible "
@@ -675,6 +715,37 @@ class Detector:
             )
         return self._srefine_cache[key]
 
+    def _ensure_stream_mrefine_step(self, yuv: bool, rows_per_seed: int):
+        """Lazily-jitted all-rows MULTI-FACE seeded refinement step (the
+        StreamScheduler's multi-face propagate mode; one jit per
+        (yuv, rows_per_seed), cached so N schedulers share the
+        executable).  Seeds are (S, T, 4) boxes / (S, T) valid — each
+        stream's carried per-track seeds."""
+        if not hasattr(self, "_smrefine_cache"):
+            self._smrefine_cache = {}
+        key = (yuv, rows_per_seed)
+        if key not in self._smrefine_cache:
+            fn = _multiface_step_refine_yuv if yuv else _multiface_step_refine
+            self._smrefine_cache[key] = jax.jit(
+                partial(
+                    fn, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                    rows_per_seed=rows_per_seed,
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    # frames DP-sharded; the (S, T) seeds are tiny and
+                    # replicated — XLA selects each shard's slice.
+                    else {
+                        "in_shardings": (
+                            None, self._frames_sharding, None, None
+                        )
+                    }
+                ),
+            )
+        return self._smrefine_cache[key]
+
     def _propagate_outputs(self, pair_iter, step, refine):
         """Yield (segment, FrameOutputs) chronologically with full detection
         only on keyframes (config.detect_interval = K > 1).
@@ -734,19 +805,28 @@ class Detector:
             )
         return ((seg, step(self.params, dev)) for seg, dev in pair_iter)
 
-    def sharded_step(self, mesh, data_axis: str = "data", yuv: bool = False):
+    def sharded_step(self, mesh, data_axis: str = "data", yuv: bool = False,
+                     multiface: bool = False):
         """Cached (step_fn, params, frames_sharding) for DP execution over
         an explicit mesh — params replicated once per (mesh, axis), the
         step jitted once (re-jitting per caller cost a full retrace and a
         ~100 MB weight re-upload per StreamScheduler construction).
-        ``yuv=True`` returns the packed-I420 variant of the step."""
+        ``yuv=True`` returns the packed-I420 variant of the step;
+        ``multiface=True`` the per-track step (BASELINE config 4)."""
         # Equality, not identity: an equal-but-rebuilt Mesh (same devices,
         # same axes — e.g. two make_mesh calls) must hit the pre-jitted
         # step, not re-trace a bit-identical graph.
         if mesh == self.mesh and data_axis == self._data_axis:
-            step = self._ensure_yuv_step() if yuv else self._step
+            if multiface:
+                if yuv:
+                    step = self._ensure_mstep_yuv()
+                else:
+                    self._ensure_track_jits()
+                    step = self._mstep
+            else:
+                step = self._ensure_yuv_step() if yuv else self._step
             return step, self.params, self._frames_sharding
-        key = (mesh, data_axis, yuv)
+        key = (mesh, data_axis, yuv, multiface)
         if key not in self._sharded_cache:
             from truely_tpu.parallel.sharding import (
                 dp_spec, replicate, shard_frame_step,
@@ -759,7 +839,8 @@ class Detector:
                 self._sharded_cache[pkey] = replicate(mesh, self.params)
             self._sharded_cache[key] = (
                 shard_frame_step(
-                    mesh, self.config, data_axis=data_axis, yuv=yuv
+                    mesh, self.config, data_axis=data_axis, yuv=yuv,
+                    multiface=multiface,
                 ),
                 self._sharded_cache[pkey],
                 dp_spec(mesh, data_axis),
@@ -767,17 +848,18 @@ class Detector:
         return self._sharded_cache[key]
 
     def sharded_refine_step(self, mesh, data_axis: str = "data",
-                            yuv: bool = False, rows_per_seed: int = 1):
+                            yuv: bool = False, rows_per_seed: int = 1,
+                            multiface: bool = False):
         """Cached (refine_fn, params) for the StreamScheduler's propagate
         mode over an explicit mesh — mirrors ``sharded_step`` (one
         replicated params copy per (mesh, axis), shared with the full
-        step; one jit per rows_per_seed)."""
+        step; one jit per rows_per_seed).  ``multiface=True`` returns the
+        (S, T)-seeded per-track refinement step."""
         if mesh == self.mesh and data_axis == self._data_axis:
-            return (
-                self._ensure_stream_refine_step(yuv, rows_per_seed),
-                self.params,
-            )
-        key = (mesh, data_axis, yuv, "refine", rows_per_seed)
+            ensure = (self._ensure_stream_mrefine_step if multiface
+                      else self._ensure_stream_refine_step)
+            return ensure(yuv, rows_per_seed), self.params
+        key = (mesh, data_axis, yuv, "refine", rows_per_seed, multiface)
         if key not in self._sharded_cache:
             from truely_tpu.parallel.sharding import (
                 replicate, shard_frame_step,
@@ -789,7 +871,7 @@ class Detector:
             self._sharded_cache[key] = (
                 shard_frame_step(
                     mesh, self.config, data_axis=data_axis, yuv=yuv,
-                    refine_rows=rows_per_seed,
+                    refine_rows=rows_per_seed, multiface=multiface,
                 ),
                 self._sharded_cache[pkey],
             )
@@ -875,7 +957,10 @@ class Detector:
                                 counter=int(counters[k]),
                             )
                         )
-                        if writer and annotated[k]:
+                        draw = annotated[k] and (
+                            cfg.draw_mode != "flagged-only" or flagged[k]
+                        )
+                        if writer and draw:
                             # Only frames that get drawn on need interleaved
                             # pixels; everything else re-encodes straight
                             # from the decoded I420 planes (no colorspace
@@ -1263,11 +1348,17 @@ class Detector:
 
             def finish_segment(seg, fetched):
                 t_boxes, t_upd, t_flag = fetched
+
+                def _track_drawn(k, t):
+                    return bool(t_upd[k, t]) and (
+                        cfg.draw_mode != "flagged-only" or bool(t_flag[k, t])
+                    )
+
                 ann = {gi: k for k, gi in enumerate(seg.sampled_indices)}
                 for gi, frame in zip(seg.frame_indices, seg.frames):
                     k = ann.get(gi)
                     drawn = k is not None and any(
-                        bool(t_upd[k, t]) for t in range(cfg.max_tracks)
+                        _track_drawn(k, t) for t in range(cfg.max_tracks)
                     )
                     if not drawn and seg.frames_i420:
                         # untouched frames re-encode straight from the
@@ -1281,7 +1372,7 @@ class Detector:
                     )
                     if drawn:
                         for t in range(cfg.max_tracks):
-                            if t_upd[k, t]:
+                            if _track_drawn(k, t):
                                 annotate_frame(
                                     px, t_boxes[k, t],
                                     flagged=bool(t_flag[k, t]),

@@ -42,6 +42,8 @@ class StreamSummary:
     yuv_ingest: bool = False
     p50_lag_s: float = 0.0    # lag distribution (BASELINE config 5 asks
     p95_lag_s: float = 0.0    # for sustained sub-frame lag, not just mean)
+    # Multi-face mode only: per-track 0-100 scores (fake_score = max).
+    track_scores: Optional[List[int]] = None
 
 
 @dataclass
@@ -67,6 +69,7 @@ def stream_videos(
     yuv: Optional[bool] = None,
     on_event: Optional[Callable[[StreamEvent], None]] = None,
     scheduler_stats: Optional[dict] = None,
+    multi_face: Optional[bool] = None,
 ) -> List[StreamSummary]:
     """Analyze N same-resolution videos as concurrent live streams.
 
@@ -87,6 +90,11 @@ def stream_videos(
     uploads the full zero-padded batch (jit = static shapes), which on an
     H2D-starved host trades throughput for nothing.  The budget is a hard
     cap on the extra lag batching can add.
+
+    ``multi_face=None`` follows the detector config: in multi-face mode
+    every stream runs per-track scoring (events are MultiFaceStreamEvent,
+    summaries carry ``track_scores``, fake_score = max over tracks —
+    exactly the solo ``analyze_video_multiface`` result per stream).
     """
     if yuv is None:
         yuv = detector.config.yuv_ingest
@@ -100,14 +108,16 @@ def stream_videos(
                     realtime=realtime,
                     partial_step_budget=partial_step_budget,
                     on_event=on_event,
-                    scheduler_stats=scheduler_stats)
+                    scheduler_stats=scheduler_stats,
+                    multi_face=multi_face)
     finally:
         for r in readers:
             r.close()
 
 
 def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
-         on_event, scheduler_stats=None, partial_step_budget=0.0):
+         on_event, scheduler_stats=None, partial_step_budget=0.0,
+         multi_face=None):
     metas = [r.meta for r in readers]
     h, w = metas[0].height, metas[0].width
     for m in metas[1:]:
@@ -121,7 +131,7 @@ def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
     sched = StreamScheduler(
         detector, n_streams=len(paths),
         frames_per_stream=frames_per_stream, fps=metas[0].fps,
-        mesh=mesh, yuv=use_yuv,
+        mesh=mesh, yuv=use_yuv, multi_face=multi_face,
     )
     cfg = detector.config
     streams: List[_PerStream] = []
@@ -201,17 +211,27 @@ def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
     summaries = []
     for i, (path, st, m) in enumerate(zip(paths, streams, metas)):
         stats = sched.stats[i]
-        score = int(
-            weighted_score(
-                jnp.int32(stats.flagged_count),
-                jnp.int32(sched.stream_counter(i)),
-                jnp.int32(stats.processed),
-                jnp.int32(st.frame_count),
-                jnp.int32(m.fps),
-                run_length_threshold=cfg.run_length_threshold,
-                long_video_seconds=cfg.long_video_seconds,
+        track_scores = None
+        if sched.multi_face:
+            per_track = sched.track_scores_for(
+                i, frames_seen=st.frame_count, fps=m.fps
             )
-        ) if stats.processed else 0
+            track_scores = [int(v) for v in per_track]
+            score = (
+                int(per_track.max(initial=0)) if stats.processed else 0
+            )
+        else:
+            score = int(
+                weighted_score(
+                    jnp.int32(stats.flagged_count),
+                    jnp.int32(sched.stream_counter(i)),
+                    jnp.int32(stats.processed),
+                    jnp.int32(st.frame_count),
+                    jnp.int32(m.fps),
+                    run_length_threshold=cfg.run_length_threshold,
+                    long_video_seconds=cfg.long_video_seconds,
+                )
+            ) if stats.processed else 0
         summaries.append(
             StreamSummary(
                 path=path,
@@ -228,6 +248,7 @@ def _run(detector, paths, readers, *, frames_per_stream, mesh, realtime,
                 p50_lag_s=_percentile(st.lags, 0.50),
                 p95_lag_s=_percentile(st.lags, 0.95),
                 yuv_ingest=use_yuv,
+                track_scores=track_scores,
             )
         )
     return summaries

@@ -49,6 +49,35 @@ class StreamEvent:
 
 
 @dataclass
+class MultiFaceStreamEvent:
+    """Per-sampled-frame event in multi-face mode: one entry per track slot
+    (pipeline/tracks.TrackFrameOut fetched to host).  ``track_updated[t]``
+    means track t matched a detection AND had a previous embedding — the
+    exact condition under which ``analyze_video_multiface`` draws its box,
+    so host annotation from these events reproduces the solo renderer."""
+
+    stream_id: int
+    frame_index: int
+    track_boxes: Tuple[Tuple[float, float, float, float], ...]  # (T, 4)
+    track_updated: Tuple[bool, ...]
+    track_flagged: Tuple[bool, ...]
+    track_sim: Tuple[float, ...]
+    track_active: Tuple[bool, ...]
+
+    @property
+    def has_face(self) -> bool:
+        return any(self.track_updated)
+
+    @property
+    def flagged(self) -> bool:
+        return any(self.track_flagged)
+
+    @property
+    def annotated(self) -> bool:
+        return any(self.track_updated)
+
+
+@dataclass
 class StreamStats:
     processed: int = 0       # sampled frames analyzed
     flagged_count: int = 0
@@ -68,6 +97,7 @@ class StreamScheduler:
         data_axis: str = "data",
         yuv: bool = False,
         detect_interval: Optional[int] = None,
+        multi_face: Optional[bool] = None,
     ):
         """``yuv=True``: pushed frames are packed I420 pictures
         ((H*3//2, W) uint8, e.g. from ``VideoReader.yuv_frames``) instead
@@ -84,12 +114,28 @@ class StreamScheduler:
         roll forward from each stream's latest detected row; a stream that
         loses its face re-acquires at the next keyframe step (<= K-1 steps
         late, the same semantics as Detector propagate mode), and a step
-        where NO stream holds a seed is promoted to a keyframe."""
+        where NO stream holds a seed is promoted to a keyframe.
+
+        ``multi_face=True`` (default: the detector config's value) runs the
+        per-track steps (BASELINE config 4) instead of the single-face
+        step: every stream carries its own ``TrackState`` across steps, the
+        device sees one packed multi-face batch, and per-stream per-track
+        decisions are exactly what ``analyze_video_multiface`` would emit
+        for that stream alone (tested) — the config-4 x config-5
+        composition the reference supports in neither form
+        (/root/reference/server/model.py:49 keeps ``boxes[0]`` only;
+        server.py:611 analyzes one video at a time).  Events are
+        ``MultiFaceStreamEvent`` (per-track boxes/flags); with
+        ``detect_interval=K > 1`` each stream's T track seeds propagate
+        through the multi-seed refinement step between keyframe steps."""
         self.detector = detector
         self.config: DetectorConfig = detector.config
         self.n_streams = n_streams
         self.yuv = yuv
         self.fps = fps
+        self.multi_face = (
+            multi_face if multi_face is not None else self.config.multi_face
+        )
         self.sample_interval = self.config.sample_interval(fps)
         f = frames_per_stream or max(1, self.config.frame_batch // n_streams)
         self.frames_per_stream = f
@@ -112,17 +158,57 @@ class StreamScheduler:
             # retrace + replicated weight re-upload per construction.
             (self._sharded_step, self._sharded_params,
              self._frames_sharding) = detector.sharded_step(
-                 mesh, data_axis, yuv=yuv
+                 mesh, data_axis, yuv=yuv, multiface=self.multi_face
              )
+        elif self.multi_face:
+            # pre-resolve the unsharded multi-face step (and its track jits)
+            if yuv:
+                self._mf_step = detector._ensure_mstep_yuv()
+            else:
+                detector._ensure_track_jits()
+                self._mf_step = detector._mstep
         self._queues: List[Deque[Tuple[int, np.ndarray]]] = [
             collections.deque() for _ in range(n_streams)
         ]
         # Embedding width comes from the detector's loaded weights (its
         # single source of truth), never re-hardcoded here.
-        self._states = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x] * n_streams),
-            init_temporal_state(detector.embedding_dim),
-        )
+        if self.multi_face:
+            from truely_tpu.pipeline.tracks import (
+                init_track_state, track_scores, track_timeline,
+            )
+            from functools import partial
+
+            self._states = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x] * n_streams),
+                init_track_state(self.config.max_tracks,
+                                 detector.embedding_dim),
+            )
+            # Per-stream track folds batched into one jit: vmap over the
+            # stream axis of (state, boxes (F,T,4), valid (F,T),
+            # emb (F,T,D), n_valid) — each stream's fold is exactly the
+            # solo analyze_video_multiface one (sequential scan over its
+            # own rows), so interleaving across steps stays exact.
+            self._vtrack_fold = jax.jit(
+                jax.vmap(
+                    partial(
+                        track_timeline,
+                        similarity_threshold=self.config.similarity_threshold,
+                        run_length_threshold=self.config.run_length_threshold,
+                    )
+                )
+            )
+            self._tscores = jax.jit(
+                partial(
+                    track_scores,
+                    run_length_threshold=self.config.run_length_threshold,
+                    long_video_seconds=self.config.long_video_seconds,
+                )
+            )
+        else:
+            self._states = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x] * n_streams),
+                init_temporal_state(detector.embedding_dim),
+            )
         self.stats: Dict[int, StreamStats] = {
             i: StreamStats() for i in range(n_streams)
         }
@@ -141,26 +227,37 @@ class StreamScheduler:
         self.detect_interval = k
         self.keyframe_steps = 0      # full-cascade steps actually run
         if k > 1:
-            self._seed_box = np.zeros((n_streams, 4), np.float32)
-            self._seed_valid = np.zeros((n_streams,), bool)
+            if self.multi_face:
+                t = self.config.max_tracks
+                self._seed_box = np.zeros((n_streams, t, 4), np.float32)
+                self._seed_valid = np.zeros((n_streams, t), bool)
+            else:
+                self._seed_box = np.zeros((n_streams, 4), np.float32)
+                self._seed_valid = np.zeros((n_streams,), bool)
             self._since_keyframe = 0
             if mesh is not None:
                 self._refine_step, _ = detector.sharded_refine_step(
-                    mesh, data_axis, yuv=yuv, rows_per_seed=f
+                    mesh, data_axis, yuv=yuv, rows_per_seed=f,
+                    multiface=self.multi_face,
+                )
+            elif self.multi_face:
+                self._refine_step = detector._ensure_stream_mrefine_step(
+                    yuv, f
                 )
             else:
                 self._refine_step = detector._ensure_stream_refine_step(
                     yuv, f
                 )
-        self._vtemporal = jax.jit(
-            jax.vmap(
-                lambda e, h, n, s: temporal_consistency(
-                    e, h, n, state=s,
-                    similarity_threshold=self.config.similarity_threshold,
-                    run_length_threshold=self.config.run_length_threshold,
+        if not self.multi_face:
+            self._vtemporal = jax.jit(
+                jax.vmap(
+                    lambda e, h, n, s: temporal_consistency(
+                        e, h, n, state=s,
+                        similarity_threshold=self.config.similarity_threshold,
+                        run_length_threshold=self.config.run_length_threshold,
+                    )
                 )
             )
-        )
 
     # ------------------------------------------------------------------
 
@@ -185,8 +282,26 @@ class StreamScheduler:
         st.frames_seen = frames_seen
 
     def stream_counter(self, stream_id: int) -> int:
-        """Current run-length counter of one stream (host fetch)."""
-        return int(np.asarray(self._states.counter[stream_id]))
+        """Current run-length counter of one stream (host fetch).  In
+        multi-face mode: the max counter over the stream's tracks."""
+        c = np.asarray(self._states.counter[stream_id])
+        return int(c.max()) if self.multi_face else int(c)
+
+    def track_scores_for(self, stream_id: int, *, frames_seen=None,
+                         fps=None) -> np.ndarray:
+        """Per-track 0-100 fake scores for one stream (multi-face mode):
+        the reference formula per track over this stream's TrackState —
+        exactly what ``analyze_video_multiface`` returns for the stream
+        analyzed alone."""
+        if not self.multi_face:
+            raise ValueError("track_scores_for requires multi_face mode")
+        st = self.stats[stream_id]
+        fc = frames_seen if frames_seen is not None else st.frames_seen
+        fv = fps if fps is not None else self.fps
+        state_i = jax.tree_util.tree_map(
+            lambda x: x[stream_id], self._states
+        )
+        return np.asarray(self._tscores(state_i, jnp.int32(fc), jnp.int32(fv)))
 
     def reset_stream(self, stream_id: int) -> None:
         """Recycle a stream slot for a new live stream: drop queued frames
@@ -202,7 +317,14 @@ class StreamScheduler:
             self._seed_box[stream_id] = 0.0
         # Derive the embedding dim from the constructed state rather than
         # re-hardcoding it: a mismatched fresh state would corrupt the slot.
-        fresh = init_temporal_state(self._states.prev_embedding.shape[-1])
+        if self.multi_face:
+            from truely_tpu.pipeline.tracks import init_track_state
+
+            fresh = init_track_state(
+                self._states.box.shape[1], self._states.embedding.shape[-1]
+            )
+        else:
+            fresh = init_temporal_state(self._states.prev_embedding.shape[-1])
         self._states = jax.tree_util.tree_map(
             lambda all_s, f: all_s.at[stream_id].set(f), self._states, fresh
         )
@@ -256,6 +378,10 @@ class StreamScheduler:
         else:
             frames_dev = jnp.asarray(flat)
             params = self.detector.params
+        if self.multi_face:
+            return self._multiface_substep(
+                frames_dev, params, run_full, n_valid, indices
+            )
         if not run_full:
             out = self._refine_step(
                 params, frames_dev,
@@ -326,6 +452,78 @@ class StreamScheduler:
             st.flagged_count += int(flg[i, : n_valid[i]].sum())
         return events
 
+    def _multiface_substep(self, frames_dev, params, run_full,
+                           n_valid, indices) -> List[MultiFaceStreamEvent]:
+        """Multi-face half of ``step()``: run the packed per-track step (or
+        the (S, T)-seeded refinement between keyframe steps), fold each
+        stream's slice through its own TrackState, roll seeds, and emit
+        per-track events."""
+        s, f = self.n_streams, self.frames_per_stream
+        t = self.config.max_tracks
+        if not run_full:
+            boxes, valid, emb = self._refine_step(
+                params, frames_dev,
+                jnp.asarray(self._seed_box), jnp.asarray(self._seed_valid),
+            )
+        elif self._mesh is not None:
+            boxes, valid, emb = self._sharded_step(params, frames_dev)
+        else:
+            boxes, valid, emb = self._mf_step(params, frames_dev)
+        if self.detect_interval > 1:
+            if run_full:
+                self.keyframe_steps += 1
+                self._since_keyframe = 1
+            else:
+                self._since_keyframe += 1
+        boxes = boxes.reshape(s, f, t, 4)
+        valid = valid.reshape(s, f, t)
+        emb = emb.reshape(s, f, t, -1)
+        self._states, outs = self._vtrack_fold(
+            self._states, boxes, valid, emb, jnp.asarray(n_valid)
+        )
+        tb, tu, tf, tsim, ta, dv, db = jax.device_get(
+            (outs.track_box, outs.track_updated, outs.track_flagged,
+             outs.track_sim, outs.track_active, valid, boxes)
+        )
+        if self.detect_interval > 1:
+            # roll each stream's T seeds to its latest row with any
+            # detection; a stream with none this step drops its seeds and
+            # re-acquires at the next keyframe step
+            for i in range(s):
+                nv = int(n_valid[i])
+                if nv == 0:
+                    continue
+                det_rows = np.nonzero(dv[i, :nv].any(axis=-1))[0]
+                if det_rows.size:
+                    self._seed_box[i] = db[i, det_rows[-1]]
+                    self._seed_valid[i] = dv[i, det_rows[-1]]
+                else:
+                    self._seed_valid[i] = False
+        events: List[MultiFaceStreamEvent] = []
+        for i in range(s):
+            for j, frame_idx in enumerate(indices[i]):
+                events.append(
+                    MultiFaceStreamEvent(
+                        stream_id=i,
+                        frame_index=frame_idx,
+                        track_boxes=tuple(
+                            tuple(float(v) for v in tb[i, j, tt])
+                            for tt in range(t)
+                        ),
+                        track_updated=tuple(bool(v) for v in tu[i, j]),
+                        track_flagged=tuple(bool(v) for v in tf[i, j]),
+                        track_sim=tuple(float(v) for v in tsim[i, j]),
+                        track_active=tuple(bool(v) for v in ta[i, j]),
+                    )
+                )
+            st = self.stats[i]
+            nv = int(n_valid[i])
+            st.processed += nv
+            # frames where ANY track flagged (display stat; per-track
+            # counts live in the TrackState itself)
+            st.flagged_count += int(tf[i, :nv].any(axis=-1).sum())
+        return events
+
     def drain(self) -> List[StreamEvent]:
         events: List[StreamEvent] = []
         while self.pending():
@@ -336,10 +534,13 @@ class StreamScheduler:
 
     def score(self, stream_id: int) -> int:
         """Rolling fake score for one stream (reference formula over the
-        frames seen so far)."""
+        frames seen so far).  Multi-face mode: max over the stream's
+        per-track scores (the analyze_video_multiface aggregate)."""
         st = self.stats[stream_id]
         if st.processed == 0:
             return 0
+        if self.multi_face:
+            return int(self.track_scores_for(stream_id).max(initial=0))
         counter = self.stream_counter(stream_id)
         return int(
             weighted_score(
