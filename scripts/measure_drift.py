@@ -129,6 +129,10 @@ def main():
         "full_fast_q8(bf16+cascade+q8)": lambda: make("bfloat16", True, 8),
         "full_fast_propagate_k4": lambda: make("bfloat16", True, 4, k=4),
         "full_fast_propagate_k8": lambda: make("bfloat16", True, 4, k=8),
+        # Adaptive ladder (detect_interval="auto", cap 8): rung choice is
+        # content-driven, so the fixture run also reports the realized
+        # keyframe/refine segment split (stderr) for the throughput story.
+        "full_fast_auto": lambda: make("bfloat16", True, 4, k="auto"),
     }
     wanted = [v for v in args.variants.split(",") if v]
     for w in wanted:
@@ -175,6 +179,14 @@ def main():
             acc = accs[name]
             acc.score_pairs.append((res_f.fake_score, res_e.fake_score))
             line.append(f"{name}={res_f.fake_score}")
+            if det._auto_interval:
+                line.append(
+                    f"[auto kf={det.auto_keyframe_segments} "
+                    f"refine={det.auto_refine_segments} "
+                    f"k_end={det.auto_interval_current}]"
+                )
+                det.auto_keyframe_segments = 0
+                det.auto_refine_segments = 0
             assert len(res_f.records) == len(res_e.records) == n
             for rf, re_ in zip(res_f.records, res_e.records):
                 if rf.has_face != re_.has_face:

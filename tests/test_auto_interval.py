@@ -1,0 +1,143 @@
+"""Adaptive keyframing (``detect_interval="auto"``, VERDICT r4 task 3).
+
+Fixed K trades a hard <=(K-1)-sample blind spot for speed everywhere;
+"auto" spends that budget only where the content earns it: the interval
+ladders 1 -> 2 -> ... -> auto_interval_max while seeded refinement keeps
+re-acquiring its seeds, and collapses back to per-segment full detection
+on a majority loss (the propagate_fallback survivor test).  Every k>1
+cycle is exactly the fixed-K macro-cycle, so rung-k drift is the fixed-K
+drift the PERFORMANCE.md table pins — "auto" only chooses WHICH rung runs.
+The reference re-detects from scratch on every sampled frame
+(/root/reference/server/model.py:47)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from truely_tpu.config import DetectorConfig, MTCNNConfig
+from truely_tpu.pipeline.detector import Detector
+from truely_tpu.pipeline.streaming import StreamScheduler
+
+MT = dict(
+    mtcnn=MTCNNConfig(
+        pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+        thresholds=(0.5, 0.3, 0.2),
+    ),
+    compute_dtype="float32",
+)
+
+
+def blurred(seed, n, h=64, w=96):
+    rng = np.random.default_rng(seed)
+    return np.stack([
+        cv2.blur(rng.integers(0, 256, (h, w, 3), np.uint8), (9, 9))
+        for _ in range(n)
+    ])
+
+
+def flat_gray(n, h=64, w=96):
+    """Featureless frames: nothing for the cascade to detect."""
+    return np.full((n, h, w, 3), 128, np.uint8)
+
+
+@pytest.fixture(scope="module")
+def stable_frames():
+    return blurred(0, 64)
+
+
+def test_auto_escalates_on_stable_content(stable_frames):
+    det = Detector(DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=4, **MT
+    ))
+    full = Detector(DetectorConfig(frame_batch=8, **MT))
+    full.params = det.params
+    res_full = full.analyze_frames(stable_frames, fps=10)
+    res = det.analyze_frames(stable_frames, fps=10)
+    # The ladder climbed: most segments ran the cheap refinement step.
+    assert det.auto_interval_current > 1
+    assert det.auto_refine_segments > det.auto_keyframe_segments
+    # Same record shape; the first segment (rung 1 = a full-detection
+    # step with the same temporal prefix) is bit-identical to full mode.
+    assert len(res.records) == len(res_full.records) == 64
+    for a, b in zip(res.records[:8], res_full.records[:8]):
+        assert (a.frame_index, a.has_face, a.box, a.counter) == (
+            b.frame_index, b.has_face, b.box, b.counter)
+
+
+def test_auto_collapses_when_faces_vanish(stable_frames):
+    det = Detector(DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=4, **MT
+    ))
+    frames = np.concatenate([stable_frames[:32], flat_gray(32)])
+    det.analyze_frames(frames, fps=10)
+    # The featureless tail kills every seed: the ladder must be back at
+    # rung 1 by the end (and full detection ran on the tail segments).
+    assert det.auto_interval_current == 1
+
+
+def test_auto_never_exceeds_cap(stable_frames):
+    det = Detector(DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=2, **MT
+    ))
+    det.analyze_frames(stable_frames, fps=10)
+    assert det.auto_interval_current <= 2
+
+
+def test_auto_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        Detector(DetectorConfig(frame_batch=6, detect_interval="auto", **MT))
+    with pytest.raises(ValueError, match="power of two"):
+        Detector(DetectorConfig(
+            frame_batch=6, detect_interval="auto", auto_interval_max=3, **MT
+        ))
+    with pytest.raises(ValueError, match="single-face"):
+        Detector(DetectorConfig(
+            frame_batch=8, detect_interval="auto", multi_face=True, **MT
+        ))
+    with pytest.raises(ValueError, match="auto"):
+        Detector(DetectorConfig(frame_batch=8, detect_interval="four", **MT))
+
+
+def test_auto_streaming_cadence(stable_frames):
+    det = Detector(DetectorConfig(frame_batch=8, **MT))
+    sched = StreamScheduler(
+        det, n_streams=2, frames_per_stream=4, fps=10,
+        detect_interval="auto",
+    )
+    assert sched.auto_interval and sched._cur_k == 1
+    events = []
+    for t in range(32):
+        for i in range(2):
+            sched.push(i, stable_frames[t])
+        if sched.pending() >= 8:
+            events.extend(sched.step())
+    events.extend(sched.drain())
+    assert len(events) == 64
+    # On tracking content the rung climbed and refine steps actually ran.
+    if sched._seed_valid.any():
+        assert sched._cur_k > 1
+        assert sched.steps_run > sched.keyframe_steps
+
+
+def test_auto_streaming_multiface_rejected():
+    det = Detector(DetectorConfig(frame_batch=8, **MT))
+    with pytest.raises(ValueError, match="single-face"):
+        StreamScheduler(det, n_streams=1, fps=10, detect_interval="auto",
+                        multi_face=True)
+
+
+def test_auto_cli_validation(tmp_path, capsys):
+    from truely_tpu.cli import main
+
+    rc = main(["analyze", "/nonexistent.mp4", "--detect-interval", "auto"])
+    assert rc == 1  # fails on the missing file, after arg parsing passed
+    clip = str(tmp_path / "c.mp4")
+    w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
+    for f in blurred(1, 4):
+        w.write(f)
+    w.release()
+    # auto's batch divisor is the interval cap (8): batch 6 must reject.
+    rc = main(["analyze", clip, "--batch", "6",
+               "--detect-interval", "auto"])
+    assert rc == 1
+    assert "divisible" in capsys.readouterr().err

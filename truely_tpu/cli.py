@@ -14,6 +14,25 @@ import logging
 import sys
 
 
+def _interval_divisor(detect_interval, auto_max: int = 8) -> int:
+    """What --batch must divide by for a --detect-interval value ("auto"
+    ladders up to auto_interval_max, so the cap is the divisor)."""
+    return auto_max if detect_interval == "auto" else max(1, detect_interval)
+
+
+def _interval_arg(value: str):
+    if value == "auto":
+        return "auto"
+    try:
+        return int(value)
+    except ValueError:
+        import argparse
+
+        raise argparse.ArgumentTypeError(
+            f'expected an integer or "auto", got {value!r}'
+        )
+
+
 def cmd_analyze(args) -> int:
     import os
 
@@ -27,10 +46,11 @@ def cmd_analyze(args) -> int:
 
     from truely_tpu.config import MTCNNConfig
 
-    if args.batch % max(1, args.detect_interval):
+    if args.batch % _interval_divisor(args.detect_interval):
         print(
             f"error: --batch {args.batch} must be divisible by "
-            f"--detect-interval {args.detect_interval}",
+            f"--detect-interval {args.detect_interval} (auto: by its "
+            f"interval cap, 8)",
             file=sys.stderr,
         )
         return 1
@@ -130,10 +150,11 @@ def cmd_stream(args) -> int:
         if not os.path.isfile(p):
             print(f"error: could not open video: {p}", file=sys.stderr)
             return 1
-    if args.batch % max(1, args.detect_interval):
+    if args.batch % _interval_divisor(args.detect_interval):
         print(
             f"error: --batch {args.batch} must be divisible by "
-            f"--detect-interval {args.detect_interval}",
+            f"--detect-interval {args.detect_interval} (auto: by its "
+            f"interval cap, 8)",
             file=sys.stderr,
         )
         return 1
@@ -286,10 +307,11 @@ def cmd_serve(args) -> int:
             file=sys.stderr,
         )
         return 1
-    if args.batch % max(1, args.detect_interval):
+    if args.batch % _interval_divisor(args.detect_interval):
         print(
             f"error: --batch {args.batch} must be divisible by "
-            f"--detect-interval {args.detect_interval}",
+            f"--detect-interval {args.detect_interval} (auto: by its "
+            f"interval cap, 8)",
             file=sys.stderr,
         )
         return 1
@@ -343,7 +365,7 @@ def main(argv=None) -> int:
                         "re-encode straight from the decoded I420 planes "
                         "(cuts the host annotate/convert cost; decisions "
                         "identical)")
-    p.add_argument("--detect-interval", type=int, default=1,
+    p.add_argument("--detect-interval", type=_interval_arg, default=1,
                    help="track-propagated detection: run the full pyramid+"
                         "P-Net cascade only every K-th sampled frame and "
                         "refine the frames between from the keyframe box "
@@ -378,7 +400,7 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true",
                    help="pace each stream at its fps (live-feed simulation; "
                         "lag stats then reflect steady-state latency)")
-    p.add_argument("--detect-interval", type=int, default=1,
+    p.add_argument("--detect-interval", type=_interval_arg, default=1,
                    help="track-propagated streaming: full cascade every "
                         "K-th scheduler step, per-stream seeded "
                         "refinement between (O-Net re-scores every frame; "
@@ -420,7 +442,7 @@ def main(argv=None) -> int:
                         "max over tracks)")
     p.add_argument("--crop-quant", type=int, default=4,
                    help="stage-crop box grid (1 = exact; see analyze)")
-    p.add_argument("--detect-interval", type=int, default=1,
+    p.add_argument("--detect-interval", type=_interval_arg, default=1,
                    help="track-propagated detection for the server's "
                         "analyses: full cascade every K-th sampled frame, "
                         "seeded refinement between (see analyze).  At K>1 "

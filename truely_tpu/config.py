@@ -174,7 +174,23 @@ class DetectorConfig:
     # ``multi_face``: every track's box seeds its own refinement
     # candidates between keyframes (refine_faces_multi).  Parity/golden
     # paths never set it.
-    detect_interval: int = 1
+    #
+    # "auto" (single-face paths): ADAPTIVE keyframing — the interval
+    # ladders up K = 1 -> 2 -> 4 -> ... -> auto_interval_max while
+    # refinement keeps re-acquiring its seeds (the per-frame O-Net
+    # re-score and the per-segment survivor count are the confidence
+    # signals, both already computed), and drops back to per-segment full
+    # detection the moment a cycle loses too many seeded slots (the
+    # propagate_fallback collapse test).  Stable content pays K_max-level
+    # cost; churny content keeps full-detection fidelity; the blind-spot
+    # budget is bounded by auto_interval_max exactly as fixed K bounds it.
+    detect_interval: "int | str" = 1
+    # "auto" mode's interval cap (power of two; frame_batch must divide
+    # by it).  Also the escalation ladder's top rung.
+    auto_interval_max: int = 8
+    # "auto" mode: escalate the interval after a cycle whose refinement
+    # lost at most this fraction of its seeded slots.
+    auto_escalate_lost: float = 0.1
     # With detect_interval > 1: re-run full detection on any segment whose
     # refinement lost more than half of its seeded slots (tracking
     # collapse — fast motion, scene cut).  Single-face counts seeded

@@ -147,15 +147,18 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
 
 def _frame_step_propagate(params: DetectorParams, frames: jax.Array,
                           seed_boxes: jax.Array, seed_valid: jax.Array,
-                          cfg: DetectorConfig, compute_dtype) -> FrameOutputs:
+                          cfg: DetectorConfig, compute_dtype,
+                          k: Optional[int] = None) -> FrameOutputs:
     """Track-propagated frame step (cfg.detect_interval = K > 1): frames is
     a chronological batch of B sampled frames whose every K-th frame is a
     keyframe; ``seed_boxes``/``seed_valid`` hold the (B/K,) keyframe
     detections from the full-cascade seed step.  Keyframes pass their seed
     straight through (their seed IS their own full detection, so their
     outputs are bit-identical to full-detection mode); the frames between
-    run seeded R-Net/O-Net refinement only (pipeline/mtcnn.refine_faces)."""
-    k = cfg.detect_interval
+    run seeded R-Net/O-Net refinement only (pipeline/mtcnn.refine_faces).
+    ``k`` overrides the config interval (the adaptive "auto" ladder jits
+    one executable per rung)."""
+    k = k if k is not None else cfg.detect_interval
     b = frames.shape[0]
     sb = jnp.repeat(seed_boxes, k, axis=0)          # (B, 4)
     sv = jnp.repeat(seed_valid, k, axis=0)          # (B,)
@@ -171,13 +174,14 @@ def _frame_step_propagate(params: DetectorParams, frames: jax.Array,
 
 def _frame_step_propagate_yuv(params: DetectorParams, packed: jax.Array,
                               seed_boxes: jax.Array, seed_valid: jax.Array,
-                              cfg: DetectorConfig, compute_dtype) -> FrameOutputs:
+                              cfg: DetectorConfig, compute_dtype,
+                              k: Optional[int] = None) -> FrameOutputs:
     from truely_tpu.ops.yuv import i420_convert
 
     frames = i420_convert(packed, rgb=not cfg.reference_compat,
                           use_pallas=cfg.yuv_pallas)
     return _frame_step_propagate(
-        params, frames, seed_boxes, seed_valid, cfg, compute_dtype
+        params, frames, seed_boxes, seed_valid, cfg, compute_dtype, k=k
     )
 
 
@@ -481,20 +485,53 @@ class Detector:
         with a mesh and nothing else changes."""
         _enable_compilation_cache()
         self.config = config or DetectorConfig()
-        k = self.config.detect_interval
-        if k < 1:
-            raise ValueError(f"detect_interval must be >= 1, got {k}")
+        di = self.config.detect_interval
+        # detect_interval: a fixed int K, or "auto" (adaptive ladder up to
+        # auto_interval_max).  self._detect_k is the normalized fixed
+        # interval (None in auto mode).
+        self._auto_interval = di == "auto"
+        if self._auto_interval:
+            kmax = self.config.auto_interval_max
+            if kmax < 2 or (kmax & (kmax - 1)):
+                raise ValueError(
+                    f"auto_interval_max must be a power of two >= 2, "
+                    f"got {kmax}"
+                )
+            if self.config.frame_batch % kmax:
+                raise ValueError(
+                    f"frame_batch ({self.config.frame_batch}) must be "
+                    f"divisible by auto_interval_max ({kmax})"
+                )
+            if self.config.multi_face:
+                raise ValueError(
+                    'detect_interval="auto" supports single-face paths; '
+                    "use a fixed interval with multi_face"
+                )
+            self._detect_k = None
+        else:
+            if not isinstance(di, int) or di < 1:
+                raise ValueError(
+                    f'detect_interval must be an int >= 1 or "auto", '
+                    f"got {di!r}"
+                )
+            if di > 1 and self.config.frame_batch % di:
+                raise ValueError(
+                    f"frame_batch ({self.config.frame_batch}) must be "
+                    f"divisible by detect_interval ({di}) — keyframes "
+                    f"batch across {di} segments at frame_batch/{di} per "
+                    f"segment"
+                )
+            self._detect_k = di
         if self.config.draw_mode not in ("all", "flagged-only"):
             raise ValueError(
                 f"draw_mode must be 'all' or 'flagged-only', got "
                 f"{self.config.draw_mode!r}"
             )
-        if k > 1 and self.config.frame_batch % k:
-            raise ValueError(
-                f"frame_batch ({self.config.frame_batch}) must be divisible "
-                f"by detect_interval ({k}) — keyframes batch across "
-                f"{k} segments at frame_batch/{k} per segment"
-            )
+        # Adaptive-keyframing telemetry (auto mode): segments run through
+        # full detection vs seeded refinement, and the final ladder rung.
+        self.auto_keyframe_segments = 0
+        self.auto_refine_segments = 0
+        self.auto_interval_current = 1
         self.mesh = mesh
         self._data_axis = data_axis
         self._frames_sharding = None
@@ -576,8 +613,8 @@ class Detector:
                     jax.block_until_ready(
                         self._ensure_mstep_yuv()(self.params, packed)
                     )
-                    if self.config.detect_interval > 1:
-                        bk = b // self.config.detect_interval
+                    if self._detect_k and self._detect_k > 1:
+                        bk = b // self._detect_k
                         t = self.config.max_tracks
                         jax.block_until_ready(
                             self._ensure_mprop_step(True)(
@@ -590,8 +627,8 @@ class Detector:
                     jax.block_until_ready(
                         self._ensure_yuv_step()(self.params, packed)
                     )
-                    if self.config.detect_interval > 1:
-                        bk = b // self.config.detect_interval
+                    if self._detect_k and self._detect_k > 1:
+                        bk = b // self._detect_k
                         jax.block_until_ready(
                             self._ensure_propagate_step(True)(
                                 self.params, packed,
@@ -606,8 +643,8 @@ class Detector:
 
             self._ensure_track_jits()
             boxes, valid, emb = self._mstep(self.params, frames)
-            if self.config.detect_interval > 1:
-                bk = b // self.config.detect_interval
+            if self._detect_k and self._detect_k > 1:
+                bk = b // self._detect_k
                 t = self.config.max_tracks
                 jax.block_until_ready(
                     self._ensure_mprop_step(False)(
@@ -624,8 +661,8 @@ class Detector:
             jax.block_until_ready((outs, scores))
             return
         out = self._step(self.params, frames)
-        if self.config.detect_interval > 1:
-            bk = b // self.config.detect_interval
+        if self._detect_k and self._detect_k > 1:
+            bk = b // self._detect_k
             jax.block_until_ready(
                 self._ensure_propagate_step(False)(
                     self.params, frames,
@@ -658,33 +695,36 @@ class Detector:
             )
         return self._step_yuv
 
-    def _ensure_propagate_step(self, yuv: bool):
+    def _ensure_propagate_step(self, yuv: bool, k: Optional[int] = None):
         """Lazily-jitted track-propagated refinement step (compiled only
-        when detect_interval > 1 paths actually run)."""
-        attr = "_step_prop_yuv" if yuv else "_step_prop"
-        if not hasattr(self, attr):
+        when detect_interval > 1 paths actually run).  ``k`` selects an
+        explicit interval (the adaptive "auto" ladder — one cached
+        executable per (yuv, rung)); default: the config's fixed
+        interval."""
+        if not hasattr(self, "_prop_cache"):
+            self._prop_cache = {}
+        key = (yuv, k)
+        if key not in self._prop_cache:
             fn = _frame_step_propagate_yuv if yuv else _frame_step_propagate
-            setattr(
-                self, attr,
-                jax.jit(
-                    partial(
-                        fn, cfg=self.config,
-                        compute_dtype=self._compute_dtype,
-                    ),
-                    **(
-                        {}
-                        if self.mesh is None
-                        # frames DP-sharded; the (B/K,) seeds are tiny and
-                        # replicated — XLA selects each shard's slice.
-                        else {
-                            "in_shardings": (
-                                None, self._frames_sharding, None, None
-                            )
-                        }
-                    ),
+            self._prop_cache[key] = jax.jit(
+                partial(
+                    fn, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                    **({} if k is None else {"k": k}),
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    # frames DP-sharded; the (B/K,) seeds are tiny and
+                    # replicated — XLA selects each shard's slice.
+                    else {
+                        "in_shardings": (
+                            None, self._frames_sharding, None, None
+                        )
+                    }
                 ),
             )
-        return getattr(self, attr)
+        return self._prop_cache[key]
 
     def _ensure_stream_refine_step(self, yuv: bool, rows_per_seed: int):
         """Lazily-jitted all-rows seeded refinement step (the
@@ -765,7 +805,7 @@ class Detector:
         import itertools
 
         cfg = self.config
-        k = cfg.detect_interval
+        k = self._detect_k
         b = cfg.frame_batch
         bk = b // k
         while True:
@@ -796,10 +836,92 @@ class Detector:
                         out = step(self.params, dev)
                 yield seg, out
 
+    def _propagate_outputs_auto(self, pair_iter, step, yuv: bool):
+        """Yield (segment, FrameOutputs) with ADAPTIVE keyframing
+        (config.detect_interval = "auto").
+
+        Fixed-K propagate trades a hard <=(K-1)-sample blind spot for
+        throughput everywhere, including across scene cuts.  This ladder
+        spends that budget only where the content earns it: the interval
+        escalates K = 1 -> 2 -> 4 -> ... -> auto_interval_max while
+        refinement keeps re-acquiring its seeds (each cycle's survivor
+        count over seeded slots — the same quantity propagate_fallback
+        tests, one small host sync per segment), and collapses back to
+        per-segment full detection the moment a cycle loses too many.
+        Every k>1 cycle is EXACTLY the fixed-K macro-cycle (keyframes
+        host-gathered across k segments into one full-width batch, lane
+        efficiency per PERFORMANCE.md finding 6; per-segment fallback
+        unchanged), so decision drift at rung k is the fixed-K drift the
+        table already pins — "auto" only chooses WHICH rung runs.
+        Telemetry: auto_keyframe_segments / auto_refine_segments /
+        auto_interval_current."""
+        import itertools
+
+        cfg = self.config
+        b = cfg.frame_batch
+        kmax = cfg.auto_interval_max
+        k = 1
+        while True:
+            if k == 1:
+                nxt = next(pair_iter, None)
+                if nxt is None:
+                    return
+                seg, dev = nxt
+                out = step(self.params, dev)
+                self.auto_keyframe_segments += 1
+                # Escalate once full detection is actually tracking
+                # something: a majority of valid rows hold a face.
+                hf = np.asarray(out.has_face[: seg.n_valid])
+                if seg.n_valid and hf.mean() >= 0.5:
+                    k = min(2, kmax)
+                self.auto_interval_current = k
+                yield seg, out
+                continue
+            refine = self._ensure_propagate_step(yuv, k=k)
+            cycle = list(itertools.islice(pair_iter, k))
+            if not cycle:
+                return
+            bk = b // k
+            kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
+            for j, (seg, _dev) in enumerate(cycle):
+                kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
+            seed = step(
+                self.params, jax.device_put(kf, self._frames_sharding)
+            )
+            sv_host = np.asarray(seed.has_face)
+            cycle_seeded = cycle_lost = 0
+            for j, (seg, dev) in enumerate(cycle):
+                sb = seed.box[j * bk : (j + 1) * bk]
+                sv = seed.has_face[j * bk : (j + 1) * bk]
+                out = refine(self.params, dev, sb, sv)
+                self.auto_refine_segments += 1
+                hf = np.asarray(out.has_face[: seg.n_valid])
+                seeded = np.repeat(
+                    sv_host[j * bk : (j + 1) * bk], k
+                )[: seg.n_valid]
+                n_seeded = int(seeded.sum())
+                lost = int((seeded & ~hf).sum())
+                cycle_seeded += n_seeded
+                cycle_lost += lost
+                if (cfg.propagate_fallback and n_seeded
+                        and lost * 2 > n_seeded):
+                    out = step(self.params, dev)
+                    self.auto_keyframe_segments += 1
+                yield seg, out
+            # Ladder update from the cycle's survivor statistics.
+            if cycle_seeded == 0 or cycle_lost * 2 > cycle_seeded:
+                k = 1                              # collapse -> re-acquire
+            elif cycle_lost <= cfg.auto_escalate_lost * cycle_seeded:
+                k = min(k * 2, kmax)               # stable -> escalate
+            self.auto_interval_current = k
+
     def _segment_outputs(self, pair_iter, step, yuv: bool):
         """(segment, FrameOutputs) stream: plain per-segment full detection,
-        or the keyframe/refine orchestration when detect_interval > 1."""
-        if self.config.detect_interval > 1:
+        the keyframe/refine orchestration when detect_interval > 1, or the
+        adaptive ladder when detect_interval == "auto"."""
+        if self._auto_interval:
+            return self._propagate_outputs_auto(iter(pair_iter), step, yuv)
+        if self._detect_k > 1:
             return self._propagate_outputs(
                 pair_iter, step, self._ensure_propagate_step(yuv)
             )

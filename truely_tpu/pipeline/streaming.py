@@ -222,8 +222,30 @@ class StreamScheduler:
 
         k = (detect_interval if detect_interval is not None
              else self.config.detect_interval)
-        if k < 1:
-            raise ValueError(f"detect_interval must be >= 1, got {k}")
+        # "auto": adaptive keyframe cadence — the per-step interval
+        # ladders 1 -> 2 -> ... -> auto_interval_max while refine steps
+        # keep re-acquiring the carried seeds, and collapses back to 1
+        # when a step loses too many (the same survivor test the
+        # detector's auto mode uses).  Single-face only, like the
+        # detector ladder.
+        self.auto_interval = k == "auto"
+        if self.auto_interval:
+            if self.multi_face:
+                raise ValueError(
+                    'detect_interval="auto" streaming is single-face; '
+                    "use a fixed interval with multi_face"
+                )
+            kmax = self.config.auto_interval_max
+            if kmax < 2:
+                raise ValueError(
+                    f"auto_interval_max must be >= 2, got {kmax}"
+                )
+            self._cur_k = 1
+            k = kmax
+        elif not isinstance(k, int) or k < 1:
+            raise ValueError(
+                f'detect_interval must be an int >= 1 or "auto", got {k!r}'
+            )
         self.detect_interval = k
         self.keyframe_steps = 0      # full-cascade steps actually run
         if k > 1:
@@ -364,10 +386,18 @@ class StreamScheduler:
         flat = batch.reshape((s * f,) + sample.shape)
         run_full = True
         if self.detect_interval > 1:
-            # keyframe cadence: full cascade every K-th step, promoted
-            # early when no stream holds a seed (refines would be no-ops)
-            run_full = (self._since_keyframe >= self.detect_interval
+            # keyframe cadence: full cascade every K-th step (the current
+            # ladder rung in auto mode), promoted early when no stream
+            # holds a seed (refines would be no-ops)
+            cadence = (self._cur_k if self.auto_interval
+                       else self.detect_interval)
+            run_full = (self._since_keyframe >= cadence
                         or not self._seed_valid.any())
+        seeded_before = (
+            self._seed_valid.copy()
+            if self.detect_interval > 1 and self.auto_interval
+            else None
+        )
         if self._mesh is not None:
             # device_put the HOST array with the sharding directly: going
             # through jnp.asarray first lands the whole batch on device 0
@@ -426,6 +456,9 @@ class StreamScheduler:
                     self._seed_valid[i] = True
                 else:
                     self._seed_valid[i] = False
+            if self.auto_interval:
+                self._auto_ladder_update(run_full, seeded_before,
+                                         ohf, n_valid)
         else:
             bounds, hf, ann, flg, sim, cnt = jax.device_get(
                 (out.crop_bounds, res.has_face, res.annotated, res.flagged,
@@ -451,6 +484,37 @@ class StreamScheduler:
             st.processed += int(n_valid[i])
             st.flagged_count += int(flg[i, : n_valid[i]].sum())
         return events
+
+    def _auto_ladder_update(self, run_full, seeded_before, ohf,
+                            n_valid) -> None:
+        """Adaptive-cadence rung update (detect_interval="auto"): after a
+        keyframe step, escalate off rung 1 once detection is actually
+        tracking (majority of valid rows hold a face); after a refine
+        step, re-score the rung from the survivor fraction over rows whose
+        stream carried a seed into the step — collapse to 1 on majority
+        loss (the propagate_fallback test), escalate on
+        <= auto_escalate_lost, hold otherwise."""
+        kmax = self.config.auto_interval_max
+        s = self.n_streams
+        if run_full:
+            total = int(n_valid.sum())
+            det = sum(
+                int(ohf[i, : int(n_valid[i])].sum()) for i in range(s)
+            )
+            if self._cur_k == 1 and total and det * 2 >= total:
+                self._cur_k = min(2, kmax)
+            return
+        seeded_rows = lost = 0
+        for i in range(s):
+            if not seeded_before[i]:
+                continue
+            nv = int(n_valid[i])
+            seeded_rows += nv
+            lost += nv - int(ohf[i, :nv].sum())
+        if seeded_rows == 0 or lost * 2 > seeded_rows:
+            self._cur_k = 1
+        elif lost <= self.config.auto_escalate_lost * seeded_rows:
+            self._cur_k = min(self._cur_k * 2, kmax)
 
     def _multiface_substep(self, frames_dev, params, run_full,
                            n_valid, indices) -> List[MultiFaceStreamEvent]:
