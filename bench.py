@@ -39,6 +39,28 @@ import time
 
 import numpy as np
 
+# v5e single-chip peaks (public spec: 197 TFLOPS bf16, 819 GB/s HBM) —
+# the denominators for the MFU / HBM-utilization fields.  The step-FLOP
+# and HBM-byte numerators come from XLA's own cost model over the exact
+# compiled executable (compiled.cost_analysis()), not hand arithmetic.
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
+
+
+def _cost_analysis(jitted, *args):
+    """(flops, hbm_bytes) from XLA's cost model for jitted(*args); None
+    on runtimes whose PJRT plugin doesn't expose it."""
+    try:
+        comp = jitted.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        return (flops, nbytes) if flops > 0 else None
+    except Exception:
+        return None
+
 
 def _chain_time(det, frames, n_steps, batch):
     """Wall time of n_steps chained detector+temporal steps, forced by one
@@ -130,7 +152,19 @@ def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
             / (n_hi - n_lo)
             for _ in range(3)
         )
-        return batch / per_step * interval
+        # Blended cost per iteration: every iteration runs the refine
+        # step; every k-th also runs the full keyframe step.
+        bk = batch // k
+        refine = det._ensure_propagate_step(False)
+        cost_f = _cost_analysis(det._step, det.params, frames)
+        cost_r = _cost_analysis(
+            refine, det.params, frames,
+            jnp.zeros((bk, 4), jnp.float32), jnp.zeros((bk,), bool),
+        )
+        cost = None
+        if cost_f and cost_r:
+            cost = (cost_r[0] + cost_f[0] / k, cost_r[1] + cost_f[1] / k)
+        return batch / per_step * interval, per_step, cost
 
     # Warmup / compile (both executables + the scalar-fetch path).
     _chain_time(det, frames, 1, batch)
@@ -142,22 +176,29 @@ def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
          - _chain_time(det, frames, n_lo, batch)) / (n_hi - n_lo)
         for _ in range(3)
     )
-    return batch / per_step * interval
+    step = det._ensure_yuv_step() if yuv else det._step
+    cost = _cost_analysis(step, det.params, frames)
+    return batch / per_step * interval, per_step, cost
 
 
-def _emit(name, video_fps, *, baseline=None):
+def _emit(name, video_fps, *, baseline=None, per_step=None, cost=None):
     vs = round(video_fps / baseline, 4) if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": f"video_frames_per_sec_per_chip_{name}",
-                "value": round(video_fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": vs,
-            }
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": f"video_frames_per_sec_per_chip_{name}",
+        "value": round(video_fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": vs,
+    }
+    if per_step and cost:
+        flops, nbytes = cost
+        # MFU vs bf16 peak and HBM-bandwidth utilization of the measured
+        # step — the roofline position: whichever fraction is higher is
+        # the resource the step is actually bound by.
+        payload["mfu"] = round(flops / per_step / PEAK_BF16_FLOPS, 4)
+        payload["hbm_util"] = round(nbytes / per_step / PEAK_HBM_BYTES, 4)
+        payload["step_gflops"] = round(flops / 1e9, 1)
+        payload["step_hbm_gb"] = round(nbytes / 1e9, 3)
+    print(json.dumps(payload), flush=True)
 
 
 def _bucket_targets():
@@ -192,8 +233,9 @@ def main():
                                 "--exact-pyramid", "--detect-interval")
     )
     if not on_tpu:  # keep the script runnable anywhere (CI, dev boxes)
-        fps = _measure(216, 384, 4, 4, False, 1, 3)
-        _emit("216p", fps, baseline=baseline)  # vs the 1080p law: CPU-only
+        fps, per_step, cost = _measure(216, 384, 4, 4, False, 1, 3)
+        # vs the 1080p law: CPU-only
+        _emit("216p", fps, baseline=baseline, per_step=per_step, cost=cost)
         return 0
 
     # batch 128 is the measured throughput knee at 1080p (b64 536 /
@@ -213,12 +255,13 @@ def main():
         if "--detect-interval" in sys.argv:  # track-propagated mode
             k = int(sys.argv[sys.argv.index("--detect-interval") + 1])
         exact = "--exact-pyramid" in sys.argv
-        fps = _measure(height, width, batch, quant, exact, 2, 7,
-                       detect_interval=k)
+        fps, per_step, cost = _measure(height, width, batch, quant, exact,
+                                       2, 7, detect_interval=k)
         name = f"{height}p" + ("_exact" if (exact and quant == 1) else "")
         if k > 1:
             name += f"_propagate_k{k}"
-        _emit(name, fps, baseline=targets.get(f"{height}p", baseline))
+        _emit(name, fps, baseline=targets.get(f"{height}p", baseline),
+              per_step=per_step, cost=cost)
         return 0
 
     # Default sweep: secondary lines first, the production-1080p headline
@@ -233,13 +276,14 @@ def main():
         ("1080p_propagate_k4", 1080, 1920, 4, False, False, 4),
     ):
         try:
-            fps = _measure(h, w, 128, quant, exact, 2, 7, yuv=yuv,
-                           detect_interval=k)
-            _emit(name, fps, baseline=targets.get(f"{h}p", baseline))
+            fps, per_step, cost = _measure(h, w, 128, quant, exact, 2, 7,
+                                           yuv=yuv, detect_interval=k)
+            _emit(name, fps, baseline=targets.get(f"{h}p", baseline),
+                  per_step=per_step, cost=cost)
         except Exception as e:  # a secondary config must not eat the headline
             print(f"bench config {name} failed: {e}", file=sys.stderr)
-    fps = _measure(1080, 1920, 128, 4, False, 2, 7)
-    _emit("1080p", fps, baseline=baseline)
+    fps, per_step, cost = _measure(1080, 1920, 128, 4, False, 2, 7)
+    _emit("1080p", fps, baseline=baseline, per_step=per_step, cost=cost)
     return 0
 
 

@@ -68,7 +68,13 @@ Dec* get_dec(PyObject* cap) {
 
 PyObject* vd_open(PyObject*, PyObject* args) {
     const char* path;
-    if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+    // skip_nonref=1: decoder discards non-reference frames
+    // (AVDISCARD_NONREF) — a PROBE mode for sample-only decode
+    // (scripts/probe_sample_decode.py): several-fold cheaper on B-frame
+    // content, but delivered frames are no longer every coded frame, so
+    // the product sampling law cannot use it exactly.  Default 0.
+    int skip_nonref = 0;
+    if (!PyArg_ParseTuple(args, "s|i", &path, &skip_nonref)) return nullptr;
 
     Dec* d = new Dec();
     int err = 0;
@@ -94,6 +100,7 @@ PyObject* vd_open(PyObject*, PyObject* args) {
         // wrapper enables the same, and single-threaded H.264 decode would
         // dominate the pipeline at 1080p.
         d->ctx->thread_count = 0;
+        if (skip_nonref) d->ctx->skip_frame = AVDISCARD_NONREF;
         err = avcodec_open2(d->ctx, codec, nullptr);
     }
     if (err >= 0) {
@@ -229,6 +236,31 @@ PyObject* vd_read(PyObject*, PyObject* args) {
     Py_RETURN_TRUE;
 }
 
+PyObject* vd_skip(PyObject*, PyObject* args) {
+    // Decode the next frame WITHOUT exporting its planes: inter-frame
+    // references force the decode itself, but the ~1.5*W*H-byte plane
+    // copy (and the Python-side buffer churn) is pure waste for frames
+    // the ~7 Hz sampling law discards — at 1080p60 interval 8 that is
+    // 7/8 of all frames.  Returns True on frame, False on EOF.
+    PyObject* cap_obj;
+    if (!PyArg_ParseTuple(args, "O", &cap_obj)) return nullptr;
+    Dec* d = get_dec(cap_obj);
+    if (!d) return nullptr;
+    int got = 0;
+    Py_BEGIN_ALLOW_THREADS
+    got = next_frame(d);
+    if (got == 1) av_frame_unref(d->frame);
+    Py_END_ALLOW_THREADS
+    if (got < 0) {
+        char buf[256];
+        av_strerror(got, buf, sizeof buf);
+        PyErr_Format(PyExc_IOError, "videodec: decode error: %s", buf);
+        return nullptr;
+    }
+    if (got == 0) Py_RETURN_FALSE;
+    Py_RETURN_TRUE;
+}
+
 PyObject* vd_pixfmt(PyObject*, PyObject* args) {
     PyObject* cap_obj;
     if (!PyArg_ParseTuple(args, "O", &cap_obj)) return nullptr;
@@ -271,9 +303,12 @@ PyObject* vd_close(PyObject*, PyObject* args) {
 
 PyMethodDef methods[] = {
     {"open", vd_open, METH_VARARGS,
-     "open(path) -> (handle, width, height, fps_num, fps_den, nb_frames)"},
+     "open(path[, skip_nonref]) -> (handle, width, height, fps_num, "
+     "fps_den, nb_frames)"},
     {"read", vd_read, METH_VARARGS,
      "read(handle, dst) -> bool; fills dst with planar yuv420 (Y,U,V)"},
+    {"skip", vd_skip, METH_VARARGS,
+     "skip(handle) -> bool; decode the next frame without exporting it"},
     {"pixfmt", vd_pixfmt, METH_VARARGS, "pixfmt(handle) -> str"},
     {"colorinfo", vd_colorinfo, METH_VARARGS,
      "colorinfo(handle) -> (colorspace, color_range) tag names"},

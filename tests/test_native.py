@@ -176,3 +176,82 @@ def test_videoenc_rejects_bad_dims(tmp_path):
     videoenc = pytest.importorskip("truely_tpu.media.videoenc")
     with pytest.raises(ValueError):
         videoenc.open(str(tmp_path / "odd.mp4"), 97, 64, 10, 1)
+
+
+def test_videodec_skip_matches_read(tmp_path):
+    """videodec.skip advances the decode exactly one frame (sample-only
+    decode, the score path's default): sampling every 4th frame via skip
+    yields byte-identical pictures to reading every frame and keeping
+    every 4th."""
+    videodec = pytest.importorskip("truely_tpu.media.videodec")
+    from tests.clip import bundled_clip_path
+
+    clip = bundled_clip_path()
+    hnd, w, h, *_ = videodec.open(clip)
+    rows = h * 3 // 2
+    all_frames = []
+    buf = np.empty((rows, w), np.uint8)
+    for _ in range(33):
+        assert videodec.read(hnd, buf)
+        all_frames.append(buf.copy())
+    videodec.close(hnd)
+
+    hnd2, *_ = videodec.open(clip)
+    got = []
+    for idx in range(33):
+        if idx % 4 == 0:
+            b = np.empty((rows, w), np.uint8)
+            assert videodec.read(hnd2, b)
+            got.append((idx, b))
+        else:
+            assert videodec.skip(hnd2)
+    videodec.close(hnd2)
+    for idx, b in got:
+        assert np.array_equal(b, all_frames[idx]), f"frame {idx} differs"
+
+
+def test_videodec_skip_nonref_mode_opens(tmp_path):
+    """The AVDISCARD_NONREF probe mode opens and decodes; on an
+    all-reference encode (the bundled fixture) it delivers every frame."""
+    videodec = pytest.importorskip("truely_tpu.media.videodec")
+    from tests.clip import bundled_clip_path
+
+    hnd, *_ = videodec.open(bundled_clip_path(), 1)
+    n = 0
+    while videodec.skip(hnd):
+        n += 1
+    videodec.close(hnd)
+    assert n == 960
+
+
+def test_videoenc_preset_knobs(tmp_path):
+    """The ladder knobs (preset/crf/threads/slices) produce a playable
+    H.264 file; higher crf compresses smaller on identical input."""
+    pytest.importorskip("truely_tpu.media.videoenc")
+    import os
+
+    from truely_tpu.media.encode import VideoWriter
+
+    rng = np.random.default_rng(0)
+    frames = [
+        np.ascontiguousarray(
+            np.repeat(
+                np.repeat(
+                    rng.integers(0, 256, (9, 16, 3), dtype=np.uint8), 8,
+                    axis=0,
+                ), 8, axis=1,
+            )
+        )
+        for _ in range(12)
+    ]
+    sizes = {}
+    for crf in (18, 35):
+        path = str(tmp_path / f"crf{crf}.mp4")
+        with VideoWriter(path, 10, 128, 72, preset="veryfast",
+                         crf=crf, threads=2, slices=2) as wr:
+            assert wr.codec == "h264"
+            for f in frames:
+                wr.write(f)
+        sizes[crf] = os.path.getsize(path)
+        assert sizes[crf] > 0
+    assert sizes[35] < sizes[18]

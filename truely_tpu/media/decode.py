@@ -201,7 +201,12 @@ class VideoReader:
             raise RuntimeError("yuv_frames() requires yuv_active")
         vd, hnd = self._vd
         rows, w = self.meta.height * 3 // 2, self.meta.width
-        scratch = np.empty((rows, w), np.uint8)
+        # Unsampled frames decode without exporting their planes (native
+        # skip): inter-frame refs force the decode, but the ~1.5*W*H-byte
+        # copy is pure waste for the 7/8 of frames the sampling law drops
+        # at 1080p60 interval 8 (measured: scripts/probe_sample_decode.py).
+        skip = getattr(vd, "skip", None)
+        scratch = None if skip is not None else np.empty((rows, w), np.uint8)
         idx = 0
         while True:
             if idx % sample_interval == 0:
@@ -209,7 +214,11 @@ class VideoReader:
                 if not vd.read(hnd, buf):
                     return
                 yield idx, buf
-            else:
+            elif skip is not None:
+                if not skip(hnd):
+                    return
+                yield idx, None
+            else:  # older extension without skip(): scratch-read
                 if not vd.read(hnd, scratch):
                     return
                 yield idx, None
@@ -243,8 +252,15 @@ class VideoReader:
             h, w = self.meta.height, self.meta.width
             rows = h * 3 // 2
             host = self._host_frames
+            # Without host_frames, unsampled frames never leave the
+            # decoder: native skip() avoids their plane export entirely
+            # (the score path's sample-only decode).
+            skip = None if host else getattr(vd, "skip", None)
             try:
-                scratch = np.empty((rows, w), np.uint8)  # unsampled frames
+                scratch = (
+                    None if skip is not None
+                    else np.empty((rows, w), np.uint8)
+                )  # unsampled frames (host mode / older extension)
                 stack = np.zeros((batch, rows, w), np.uint8)
                 cur_frames: List[np.ndarray] = []
                 cur_idx: List[int] = []
@@ -283,6 +299,9 @@ class VideoReader:
                         if host:
                             # a view — the Segment keeps ``stack`` alive
                             cur_frames.append(buf)
+                    elif skip is not None:
+                        if not skip(hnd):
+                            break
                     else:
                         buf = (
                             np.empty((rows, w), np.uint8) if host else scratch
