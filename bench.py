@@ -91,14 +91,15 @@ def _chain_time_propagate(det, frames, n_steps, batch, k):
     from truely_tpu.ops.temporal import init_temporal_state
 
     refine = det._ensure_propagate_step(False)
+    detect = det._ensure_detect_step(False)  # cascade-only keyframe seeds
     bk = batch // k
     state = init_temporal_state(512)
-    seed = None
+    seed_box = seed_hf = None
     t0 = time.perf_counter()
     for i in range(n_steps):
         if i % k == 0:
-            seed = det.step_device(frames)
-        out = refine(det.params, frames, seed.box[:bk], seed.has_face[:bk])
+            seed_box, seed_hf = detect(det.params, frames)
+        out = refine(det.params, frames, seed_box[:bk], seed_hf[:bk])
         res = det._temporal(out.embedding, out.has_face, jnp.int32(batch), state)
         state = res.state
     int(state.counter)  # scalar fetch: forces the whole chain
@@ -153,10 +154,12 @@ def _measure(height, width, batch, quant, exact_pyramid, n_lo, n_hi,
             for _ in range(3)
         )
         # Blended cost per iteration: every iteration runs the refine
-        # step; every k-th also runs the full keyframe step.
+        # step; every k-th also runs the cascade-only keyframe seed step.
         bk = batch // k
         refine = det._ensure_propagate_step(False)
-        cost_f = _cost_analysis(det._step, det.params, frames)
+        cost_f = _cost_analysis(
+            det._ensure_detect_step(False), det.params, frames
+        )
         cost_r = _cost_analysis(
             refine, det.params, frames,
             jnp.zeros((bk, 4), jnp.float32), jnp.zeros((bk,), bool),

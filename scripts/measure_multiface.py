@@ -75,16 +75,29 @@ def main():
         )
         fps_p = batch / per_p
         # Macro-cycle accounting (_propagate_m_outputs): per cycle of K
-        # segments, ONE full step on the gathered keyframe batch plus one
-        # propagate step per segment => amortized per-segment cost
-        # (per_full + K * per_prop) / K.
-        amort = (per + k * per_p) / k
+        # segments, ONE cascade-only seed step on the gathered keyframe
+        # batch (round 5: _multiface_detect — the embed tail's outputs
+        # were discarded there, advisor r4) plus one propagate step per
+        # segment => amortized per-segment cost (per_det + K*per_prop)/K.
+        from truely_tpu.pipeline.detector import _multiface_detect
+
+        dstep = jax.jit(partial(
+            _multiface_detect, det.params,
+            cfg=cfg, compute_dtype=det._compute_dtype,
+        ))
+        per_d = measure_forced(
+            lambda x: dstep(x)[0], frames, n_lo=2, n_hi=5, trials=3,
+        )
+        amort = (per_d + k * per_p) / k
+        amort_full = (per + k * per_p) / k
         print(
             f"multiface PROPAGATE step (T-seed refine, K={k}) b{batch} "
             f"{h}p: {per_p*1e3:.1f} ms/step = {fps_p:.0f} sampled fps; "
+            f"cascade-only keyframe seed step {per_d*1e3:.1f} ms; "
             f"macro-cycle amortized {amort*1e3:.1f} ms/segment "
             f"= {batch/amort:.0f} sampled fps "
-            f"= {4*batch/amort:.0f} video fps/chip",
+            f"= {4*batch/amort:.0f} video fps/chip "
+            f"(was {amort_full*1e3:.1f} ms with full-step keyframes)",
             flush=True,
         )
         return

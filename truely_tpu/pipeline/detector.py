@@ -145,6 +145,31 @@ def _frame_step(params: DetectorParams, frames: jax.Array, cfg: DetectorConfig,
     return _embed_tail(params, frames, box, has_face, cfg, compute_dtype)
 
 
+def _frame_step_detect(params: DetectorParams, frames: jax.Array,
+                       cfg: DetectorConfig, compute_dtype):
+    """Cascade-only seed step for the gathered-keyframe batch
+    (cfg.detect_interval > 1): the propagate orchestration consumes ONLY
+    (box, has_face) from the keyframe batch — every keyframe row's
+    embedding is produced by its segment's refine step, whose seed
+    passthrough runs the identical boxes through the shared embed tail —
+    so the seed step skips the FaceNet/landmark tail entirely instead of
+    computing embeddings that are discarded."""
+    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+    box, _score, has_face = select_primary_face(
+        det, largest=cfg.mtcnn.select_largest
+    )
+    return box, has_face
+
+
+def _frame_step_detect_yuv(params: DetectorParams, packed: jax.Array,
+                           cfg: DetectorConfig, compute_dtype):
+    from truely_tpu.ops.yuv import i420_convert
+
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
+    return _frame_step_detect(params, frames, cfg, compute_dtype)
+
+
 def _frame_step_propagate(params: DetectorParams, frames: jax.Array,
                           seed_boxes: jax.Array, seed_valid: jax.Array,
                           cfg: DetectorConfig, compute_dtype,
@@ -262,6 +287,27 @@ def _multiface_step(params: DetectorParams, frames: jax.Array,
     det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
     boxes, valid = _multiface_select(det, cfg.max_tracks)
     return _multiface_tail(params, frames, boxes, valid, cfg, compute_dtype)
+
+
+def _multiface_detect(params: DetectorParams, frames: jax.Array,
+                      cfg: DetectorConfig, compute_dtype):
+    """Cascade-only multi-face seed step (cfg.detect_interval > 1): the
+    keyframe gather needs only (boxes, valid) — keyframe rows are
+    re-embedded bit-identically by the refine step's seed passthrough
+    through the shared ``_multiface_tail`` — so the per-macro-cycle
+    keyframe batch skips the T-crop FaceNet/landmark tail (advisor r4:
+    the full step's (B, T, 512) embeddings were computed and discarded)."""
+    det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
+    return _multiface_select(det, cfg.max_tracks)
+
+
+def _multiface_detect_yuv(params: DetectorParams, packed: jax.Array,
+                          cfg: DetectorConfig, compute_dtype):
+    from truely_tpu.ops.yuv import i420_convert
+
+    frames = i420_convert(packed, rgb=not cfg.reference_compat,
+                          use_pallas=cfg.yuv_pallas)
+    return _multiface_detect(params, frames, cfg, compute_dtype)
 
 
 def _multiface_step_propagate(params: DetectorParams, frames: jax.Array,
@@ -623,6 +669,11 @@ class Detector:
                                 jnp.zeros((bk, t), bool),
                             )
                         )
+                        jax.block_until_ready(
+                            self._ensure_mdetect_step(True)(
+                                self.params, packed
+                            )
+                        )
                 else:
                     jax.block_until_ready(
                         self._ensure_yuv_step()(self.params, packed)
@@ -634,6 +685,11 @@ class Detector:
                                 self.params, packed,
                                 jnp.zeros((bk, 4), jnp.float32),
                                 jnp.zeros((bk,), bool),
+                            )
+                        )
+                        jax.block_until_ready(
+                            self._ensure_detect_step(True)(
+                                self.params, packed
                             )
                         )
             except ImportError:
@@ -653,6 +709,9 @@ class Detector:
                         jnp.zeros((bk, t), bool),
                     )
                 )
+                jax.block_until_ready(
+                    self._ensure_mdetect_step(False)(self.params, frames)
+                )
             state = init_track_state(self.config.max_tracks, emb.shape[-1])
             state, outs = self._track_fold(
                 state, boxes, valid, emb, jnp.int32(b)
@@ -669,6 +728,9 @@ class Detector:
                     jnp.zeros((bk, 4), jnp.float32),
                     jnp.zeros((bk,), bool),
                 )
+            )
+            jax.block_until_ready(
+                self._ensure_detect_step(False)(self.params, frames)
             )
         state = init_temporal_state(out.embedding.shape[-1])
         res = self._temporal(out.embedding, out.has_face, jnp.int32(b), state)
@@ -694,6 +756,48 @@ class Detector:
                 ),
             )
         return self._step_yuv
+
+    def _ensure_detect_step(self, yuv: bool):
+        """Lazily-jitted cascade-only seed step for the gathered-keyframe
+        batch (detect_interval > 1) — the full step minus the embed tail,
+        since the orchestration consumes only its (box, has_face)."""
+        if not hasattr(self, "_detect_cache"):
+            self._detect_cache = {}
+        if yuv not in self._detect_cache:
+            fn = _frame_step_detect_yuv if yuv else _frame_step_detect
+            self._detect_cache[yuv] = jax.jit(
+                partial(
+                    fn, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    else {"in_shardings": (None, self._frames_sharding)}
+                ),
+            )
+        return self._detect_cache[yuv]
+
+    def _ensure_mdetect_step(self, yuv: bool):
+        """Lazily-jitted cascade-only MULTI-FACE seed step (the keyframe
+        gather of ``_propagate_m_outputs`` — boxes/valid only, no T-crop
+        embed tail)."""
+        if not hasattr(self, "_mdetect_cache"):
+            self._mdetect_cache = {}
+        if yuv not in self._mdetect_cache:
+            fn = _multiface_detect_yuv if yuv else _multiface_detect
+            self._mdetect_cache[yuv] = jax.jit(
+                partial(
+                    fn, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    else {"in_shardings": (None, self._frames_sharding)}
+                ),
+            )
+        return self._mdetect_cache[yuv]
 
     def _ensure_propagate_step(self, yuv: bool, k: Optional[int] = None):
         """Lazily-jitted track-propagated refinement step (compiled only
@@ -786,7 +890,7 @@ class Detector:
             )
         return self._smrefine_cache[key]
 
-    def _propagate_outputs(self, pair_iter, step, refine):
+    def _propagate_outputs(self, pair_iter, step, refine, seed_step):
         """Yield (segment, FrameOutputs) chronologically with full detection
         only on keyframes (config.detect_interval = K > 1).
 
@@ -815,15 +919,18 @@ class Detector:
             kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
             for j, (seg, _dev) in enumerate(cycle):
                 kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
-            seed = step(
+            # Cascade-only seed step: the keyframe rows' embeddings come
+            # from each segment's refine (seed passthrough through the
+            # shared tail), so computing them here would be discarded work.
+            seed_box, seed_hf = seed_step(
                 self.params, jax.device_put(kf, self._frames_sharding)
             )
             sv_host = (
-                np.asarray(seed.has_face) if cfg.propagate_fallback else None
+                np.asarray(seed_hf) if cfg.propagate_fallback else None
             )
             for j, (seg, dev) in enumerate(cycle):
-                sb = seed.box[j * bk : (j + 1) * bk]
-                sv = seed.has_face[j * bk : (j + 1) * bk]
+                sb = seed_box[j * bk : (j + 1) * bk]
+                sv = seed_hf[j * bk : (j + 1) * bk]
                 out = refine(self.params, dev, sb, sv)
                 if cfg.propagate_fallback:
                     hf = np.asarray(out.has_face[: seg.n_valid])
@@ -885,14 +992,15 @@ class Detector:
             kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
             for j, (seg, _dev) in enumerate(cycle):
                 kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
-            seed = step(
+            # Cascade-only seed step (see _propagate_outputs).
+            seed_box, seed_hf = self._ensure_detect_step(yuv)(
                 self.params, jax.device_put(kf, self._frames_sharding)
             )
-            sv_host = np.asarray(seed.has_face)
+            sv_host = np.asarray(seed_hf)
             cycle_seeded = cycle_lost = 0
             for j, (seg, dev) in enumerate(cycle):
-                sb = seed.box[j * bk : (j + 1) * bk]
-                sv = seed.has_face[j * bk : (j + 1) * bk]
+                sb = seed_box[j * bk : (j + 1) * bk]
+                sv = seed_hf[j * bk : (j + 1) * bk]
                 out = refine(self.params, dev, sb, sv)
                 self.auto_refine_segments += 1
                 hf = np.asarray(out.has_face[: seg.n_valid])
@@ -923,7 +1031,8 @@ class Detector:
             return self._propagate_outputs_auto(iter(pair_iter), step, yuv)
         if self._detect_k > 1:
             return self._propagate_outputs(
-                pair_iter, step, self._ensure_propagate_step(yuv)
+                pair_iter, step, self._ensure_propagate_step(yuv),
+                self._ensure_detect_step(yuv),
             )
         return ((seg, step(self.params, dev)) for seg, dev in pair_iter)
 
@@ -1346,7 +1455,7 @@ class Detector:
             )
         return getattr(self, attr)
 
-    def _propagate_m_outputs(self, pair_iter, mstep, refine):
+    def _propagate_m_outputs(self, pair_iter, mstep, refine, mdetect):
         """Yield (segment, (boxes, valid, emb)) chronologically with full
         multi-face detection only on keyframes (detect_interval = K > 1).
 
@@ -1370,7 +1479,11 @@ class Detector:
             kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
             for j, (seg, _dev) in enumerate(cycle):
                 kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
-            s_boxes, s_valid, _ = mstep(
+            # Cascade-only keyframe batch: the refine step re-embeds the
+            # keyframe rows bit-identically via the shared tail, so the
+            # full step's (B, T, 512) embeddings here were discarded work
+            # (advisor r4 finding, closed).
+            s_boxes, s_valid = mdetect(
                 self.params, jax.device_put(kf, self._frames_sharding)
             )
             sv_host = (
@@ -1397,7 +1510,8 @@ class Detector:
         detect_interval > 1."""
         if self.config.detect_interval > 1:
             return self._propagate_m_outputs(
-                pair_iter, mstep, self._ensure_mprop_step(yuv)
+                pair_iter, mstep, self._ensure_mprop_step(yuv),
+                self._ensure_mdetect_step(yuv),
             )
         return ((seg, mstep(self.params, dev)) for seg, dev in pair_iter)
 
