@@ -191,3 +191,26 @@ def test_batch_divisibility_validated():
         Detector(DetectorConfig(frame_batch=8, detect_interval=3, **F32))
     with pytest.raises(ValueError, match=">= 1"):
         Detector(DetectorConfig(frame_batch=8, detect_interval=0, **F32))
+
+
+def test_detect_only_seed_step_matches_full_step(clip_frames):
+    """The cascade-only keyframe seed step (round 5: _frame_step_detect /
+    _multiface_detect — the embed tail's keyframe outputs were discarded
+    by the orchestration, advisor r4) returns exactly the full step's
+    (box, has_face) / (boxes, valid): the propagate orchestrations may
+    swap one for the other without any decision change."""
+    det = Detector(DetectorConfig(frame_batch=8, detect_interval=2, **F32))
+    frames = jnp.asarray(clip_frames[:8])
+    full = det.step_device(frames)
+    box, hf = det._ensure_detect_step(False)(det.params, frames)
+    assert np.array_equal(np.asarray(box), np.asarray(full.box))
+    assert np.array_equal(np.asarray(hf), np.asarray(full.has_face))
+
+    mdet = Detector(DetectorConfig(
+        frame_batch=8, detect_interval=2, multi_face=True, **F32
+    ))
+    mdet._ensure_track_jits()
+    mboxes, mvalid, _ = mdet._mstep(mdet.params, frames)
+    dboxes, dvalid = mdet._ensure_mdetect_step(False)(mdet.params, frames)
+    assert np.array_equal(np.asarray(dboxes), np.asarray(mboxes))
+    assert np.array_equal(np.asarray(dvalid), np.asarray(mvalid))

@@ -153,12 +153,22 @@ def _frame_step_detect(params: DetectorParams, frames: jax.Array,
     embedding is produced by its segment's refine step, whose seed
     passthrough runs the identical boxes through the shared embed tail —
     so the seed step skips the FaceNet/landmark tail entirely instead of
-    computing embeddings that are discarded."""
+    computing embeddings that are discarded.  The tail's clamp-degeneracy
+    gate on has_face IS reproduced (a box that clamps to nothing inside
+    the frame is not a face — _embed_tail applies the same AND), so
+    (box, has_face) equals the full step's bit for bit (pinned by
+    test_detect_only_seed_step_matches_full_step)."""
     det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
     box, _score, has_face = select_primary_face(
         det, largest=cfg.mtcnn.select_largest
     )
-    return box, has_face
+    h, w = frames.shape[1], frames.shape[2]
+    bi = box.astype(jnp.int32)
+    ok = jnp.logical_and(
+        jnp.minimum(bi[:, 2], w) > jnp.maximum(bi[:, 0], 0),
+        jnp.minimum(bi[:, 3], h) > jnp.maximum(bi[:, 1], 0),
+    )
+    return box, jnp.logical_and(has_face, ok)
 
 
 def _frame_step_detect_yuv(params: DetectorParams, packed: jax.Array,
@@ -296,9 +306,18 @@ def _multiface_detect(params: DetectorParams, frames: jax.Array,
     re-embedded bit-identically by the refine step's seed passthrough
     through the shared ``_multiface_tail`` — so the per-macro-cycle
     keyframe batch skips the T-crop FaceNet/landmark tail (advisor r4:
-    the full step's (B, T, 512) embeddings were computed and discarded)."""
+    the full step's (B, T, 512) embeddings were computed and discarded).
+    ``_multiface_tail``'s clamp-degeneracy gate on valid is reproduced so
+    (boxes, valid) equals the full step's bit for bit."""
     det = detect_faces(params.mtcnn, frames, cfg.mtcnn, dtype=compute_dtype)
-    return _multiface_select(det, cfg.max_tracks)
+    boxes, valid = _multiface_select(det, cfg.max_tracks)
+    h, w = frames.shape[1], frames.shape[2]
+    bi = boxes.astype(jnp.int32)
+    ok = jnp.logical_and(
+        jnp.minimum(bi[..., 2], w) > jnp.maximum(bi[..., 0], 0),
+        jnp.minimum(bi[..., 3], h) > jnp.maximum(bi[..., 1], 0),
+    )
+    return boxes, jnp.logical_and(valid, ok)
 
 
 def _multiface_detect_yuv(params: DetectorParams, packed: jax.Array,
