@@ -90,12 +90,38 @@ def test_auto_validation():
         Detector(DetectorConfig(
             frame_batch=6, detect_interval="auto", auto_interval_max=3, **MT
         ))
-    with pytest.raises(ValueError, match="single-face"):
-        Detector(DetectorConfig(
-            frame_batch=8, detect_interval="auto", multi_face=True, **MT
-        ))
     with pytest.raises(ValueError, match="auto"):
         Detector(DetectorConfig(frame_batch=8, detect_interval="four", **MT))
+
+
+def test_auto_multiface_escalates_and_matches_shape(stable_frames):
+    """Multi-face auto (round 5): the ladder escalates on stable content
+    with (row, track) slots as the survivor currency, and the aggregate /
+    per-track outputs keep analyze_frames_tracks' contract.  The first
+    segment (rung 1 = a full multi-face step) makes auto's track fold
+    start from the same state as full mode."""
+    det = Detector(DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=4,
+        multi_face=True, **MT
+    ))
+    full = Detector(DetectorConfig(frame_batch=8, multi_face=True, **MT))
+    full.params = det.params
+    agg_f, per_f, _ = full.analyze_frames_tracks(stable_frames, fps=10)
+    agg, per, state = det.analyze_frames_tracks(stable_frames, fps=10)
+    assert det.auto_interval_current > 1
+    assert det.auto_refine_segments > 0
+    assert per.shape == per_f.shape
+    assert int(np.asarray(state.processed).sum()) > 0
+
+
+def test_auto_multiface_collapses_when_faces_vanish(stable_frames):
+    det = Detector(DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=4,
+        multi_face=True, **MT
+    ))
+    frames = np.concatenate([stable_frames[:32], flat_gray(32)])
+    det.analyze_frames_tracks(frames, fps=10)
+    assert det.auto_interval_current == 1
 
 
 def test_auto_streaming_cadence(stable_frames):

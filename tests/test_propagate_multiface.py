@@ -124,7 +124,7 @@ def _force_refine_loss(det):
         boxes, valid, emb = real(params, frames, sb, sv)
         return boxes, jnp.zeros_like(valid), emb
 
-    det._mstep_prop = lossy
+    det._mprop_cache[(False, None)] = lossy
 
 
 def test_fallback_restores_full_tracking(blurred_frames, full_result):

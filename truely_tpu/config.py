@@ -175,15 +175,19 @@ class DetectorConfig:
     # candidates between keyframes (refine_faces_multi).  Parity/golden
     # paths never set it.
     #
-    # "auto" (single-face paths): ADAPTIVE keyframing — the interval
-    # ladders up K = 1 -> 2 -> 4 -> ... -> auto_interval_max while
-    # refinement keeps re-acquiring its seeds (the per-frame O-Net
-    # re-score and the per-segment survivor count are the confidence
-    # signals, both already computed), and drops back to per-segment full
-    # detection the moment a cycle loses too many seeded slots (the
-    # propagate_fallback collapse test).  Stable content pays K_max-level
-    # cost; churny content keeps full-detection fidelity; the blind-spot
-    # budget is bounded by auto_interval_max exactly as fixed K bounds it.
+    # "auto": ADAPTIVE keyframing — the interval ladders up
+    # K = 1 -> 2 -> 4 -> ... -> auto_interval_max while refinement keeps
+    # re-acquiring its seeds (the per-frame O-Net re-score and the
+    # per-segment survivor count are the confidence signals, both already
+    # computed), and drops back to per-segment full detection the moment
+    # a cycle loses too many seeded slots (the propagate_fallback
+    # collapse test).  Stable content pays K_max-level cost; churny
+    # content keeps full-detection fidelity; the blind-spot budget is
+    # bounded by auto_interval_max exactly as fixed K bounds it.
+    # Composes with multi_face (round 5: the ladder's survivor currency
+    # is then seeded (row, track) slots); the StreamScheduler's auto
+    # cadence remains single-face (use a fixed interval for multi-face
+    # streaming).
     detect_interval: "int | str" = 1
     # "auto" mode's interval cap (power of two; frame_batch must divide
     # by it).  Also the escalation ladder's top rung.

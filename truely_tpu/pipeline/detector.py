@@ -331,7 +331,8 @@ def _multiface_detect_yuv(params: DetectorParams, packed: jax.Array,
 
 def _multiface_step_propagate(params: DetectorParams, frames: jax.Array,
                               seed_boxes: jax.Array, seed_valid: jax.Array,
-                              cfg: DetectorConfig, compute_dtype):
+                              cfg: DetectorConfig, compute_dtype,
+                              k: Optional[int] = None):
     """Track-propagated multi-face step (cfg.detect_interval = K > 1):
     frames is a chronological batch whose every K-th frame is a keyframe;
     ``seed_boxes`` (B/K, T, 4) / ``seed_valid`` (B/K, T) hold the keyframe
@@ -339,8 +340,9 @@ def _multiface_step_propagate(params: DetectorParams, frames: jax.Array,
     Keyframes pass their seeds straight through — their seed IS their own
     full detection, so keyframe rows are bit-identical to full mode —
     and the frames between run T-seed stage-2/3 refinement only
-    (pipeline/mtcnn.refine_faces_multi)."""
-    k = cfg.detect_interval
+    (pipeline/mtcnn.refine_faces_multi).  ``k`` overrides the config
+    interval (the adaptive "auto" ladder — one executable per rung)."""
+    k = k if k is not None else cfg.detect_interval
     b = frames.shape[0]
     sb = jnp.repeat(seed_boxes, k, axis=0)          # (B, T, 4)
     sv = jnp.repeat(seed_valid, k, axis=0)          # (B, T)
@@ -392,13 +394,14 @@ def _multiface_step_refine_yuv(params: DetectorParams, packed: jax.Array,
 def _multiface_step_propagate_yuv(params: DetectorParams, packed: jax.Array,
                                   seed_boxes: jax.Array,
                                   seed_valid: jax.Array,
-                                  cfg: DetectorConfig, compute_dtype):
+                                  cfg: DetectorConfig, compute_dtype,
+                                  k: Optional[int] = None):
     from truely_tpu.ops.yuv import i420_convert
 
     frames = i420_convert(packed, rgb=not cfg.reference_compat,
                           use_pallas=cfg.yuv_pallas)
     return _multiface_step_propagate(
-        params, frames, seed_boxes, seed_valid, cfg, compute_dtype
+        params, frames, seed_boxes, seed_valid, cfg, compute_dtype, k=k
     )
 
 
@@ -566,11 +569,6 @@ class Detector:
                 raise ValueError(
                     f"frame_batch ({self.config.frame_batch}) must be "
                     f"divisible by auto_interval_max ({kmax})"
-                )
-            if self.config.multi_face:
-                raise ValueError(
-                    'detect_interval="auto" supports single-face paths; '
-                    "use a fixed interval with multi_face"
                 )
             self._detect_k = None
         else:
@@ -1445,34 +1443,37 @@ class Detector:
             )
         return self._mstep_yuv
 
-    def _ensure_mprop_step(self, yuv: bool):
+    def _ensure_mprop_step(self, yuv: bool, k: Optional[int] = None):
         """Lazily-jitted multi-face track-propagated step (compiled only
-        when multi_face + detect_interval > 1 paths actually run)."""
-        attr = "_mstep_prop_yuv" if yuv else "_mstep_prop"
-        if not hasattr(self, attr):
+        when multi_face + detect_interval > 1 paths actually run).  ``k``
+        selects an explicit interval (the adaptive "auto" ladder — one
+        cached executable per (yuv, rung)); default: the config's fixed
+        interval."""
+        if not hasattr(self, "_mprop_cache"):
+            self._mprop_cache = {}
+        key = (yuv, k)
+        if key not in self._mprop_cache:
             fn = (_multiface_step_propagate_yuv if yuv
                   else _multiface_step_propagate)
-            setattr(
-                self, attr,
-                jax.jit(
-                    partial(
-                        fn, cfg=self.config,
-                        compute_dtype=self._compute_dtype,
-                    ),
-                    **(
-                        {}
-                        if self.mesh is None
-                        # frames DP-sharded; the (B/K, T) seeds are tiny
-                        # and replicated — XLA selects each shard's slice.
-                        else {
-                            "in_shardings": (
-                                None, self._frames_sharding, None, None
-                            )
-                        }
-                    ),
+            self._mprop_cache[key] = jax.jit(
+                partial(
+                    fn, cfg=self.config,
+                    compute_dtype=self._compute_dtype,
+                    **({} if k is None else {"k": k}),
+                ),
+                **(
+                    {}
+                    if self.mesh is None
+                    # frames DP-sharded; the (B/K, T) seeds are tiny
+                    # and replicated — XLA selects each shard's slice.
+                    else {
+                        "in_shardings": (
+                            None, self._frames_sharding, None, None
+                        )
+                    }
                 ),
             )
-        return getattr(self, attr)
+        return self._mprop_cache[key]
 
     def _propagate_m_outputs(self, pair_iter, mstep, refine, mdetect):
         """Yield (segment, (boxes, valid, emb)) chronologically with full
@@ -1523,10 +1524,88 @@ class Detector:
                         out = mstep(self.params, dev)
                 yield seg, out
 
+    def _propagate_m_outputs_auto(self, pair_iter, mstep, yuv: bool):
+        """Yield (segment, (boxes, valid, emb)) with ADAPTIVE keyframing
+        (multi-face ``detect_interval="auto"``, round 5).
+
+        The single-face ladder (``_propagate_outputs_auto``) verbatim,
+        with (row, track) SLOTS as the survivor currency (the same
+        denominator the fixed-K multi-face fallback counts): escalate
+        k = 1 -> 2 -> ... -> auto_interval_max while each cycle's T-seed
+        refinement keeps re-acquiring its seeded slots, collapse to full
+        detection on majority slot loss.  Every k>1 cycle is exactly the
+        fixed-K multi-face macro-cycle (cascade-only gathered-keyframe
+        seed step + per-segment ``refine_faces_multi``), so rung-k drift
+        is the fixed-K drift."""
+        import itertools
+
+        cfg = self.config
+        b = cfg.frame_batch
+        kmax = cfg.auto_interval_max
+        k = 1
+        while True:
+            if k == 1:
+                nxt = next(pair_iter, None)
+                if nxt is None:
+                    return
+                seg, dev = nxt
+                out = mstep(self.params, dev)
+                self.auto_keyframe_segments += 1
+                # Escalate once full detection is actually tracking: a
+                # majority of valid rows hold at least one live track.
+                vv = np.asarray(out[1][: seg.n_valid])      # (n, T)
+                if seg.n_valid and vv.any(axis=1).mean() >= 0.5:
+                    k = min(2, kmax)
+                self.auto_interval_current = k
+                yield seg, out
+                continue
+            refine = self._ensure_mprop_step(yuv, k=k)
+            cycle = list(itertools.islice(pair_iter, k))
+            if not cycle:
+                return
+            bk = b // k
+            kf = np.zeros((b,) + cycle[0][0].sampled.shape[1:], np.uint8)
+            for j, (seg, _dev) in enumerate(cycle):
+                kf[j * bk : (j + 1) * bk] = seg.sampled[:: k]
+            # Cascade-only seed step (see _propagate_m_outputs).
+            s_boxes, s_valid = self._ensure_mdetect_step(yuv)(
+                self.params, jax.device_put(kf, self._frames_sharding)
+            )
+            sv_host = np.asarray(s_valid)
+            cycle_seeded = cycle_lost = 0
+            for j, (seg, dev) in enumerate(cycle):
+                sb = s_boxes[j * bk : (j + 1) * bk]
+                sv = s_valid[j * bk : (j + 1) * bk]
+                out = refine(self.params, dev, sb, sv)
+                self.auto_refine_segments += 1
+                ok = np.asarray(out[1][: seg.n_valid])      # (n, T)
+                seeded = np.repeat(
+                    sv_host[j * bk : (j + 1) * bk], k, axis=0
+                )[: seg.n_valid]
+                n_seeded = int(seeded.sum())
+                lost = int((seeded & ~ok).sum())
+                cycle_seeded += n_seeded
+                cycle_lost += lost
+                if (cfg.propagate_fallback and n_seeded
+                        and lost * 2 > n_seeded):
+                    out = mstep(self.params, dev)
+                    self.auto_keyframe_segments += 1
+                yield seg, out
+            # Ladder update from the cycle's slot-survivor statistics.
+            if cycle_seeded == 0 or cycle_lost * 2 > cycle_seeded:
+                k = 1                              # collapse -> re-acquire
+            elif cycle_lost <= cfg.auto_escalate_lost * cycle_seeded:
+                k = min(k * 2, kmax)               # stable -> escalate
+            self.auto_interval_current = k
+
     def _msegment_outputs(self, pair_iter, mstep, yuv: bool):
         """(segment, (boxes, valid, emb)) stream: plain per-segment full
-        multi-face detection, or the keyframe/refine orchestration when
-        detect_interval > 1."""
+        multi-face detection, the keyframe/refine orchestration when
+        detect_interval > 1, or the adaptive ladder when "auto"."""
+        if self._auto_interval:
+            return self._propagate_m_outputs_auto(
+                iter(pair_iter), mstep, yuv
+            )
         if self.config.detect_interval > 1:
             return self._propagate_m_outputs(
                 pair_iter, mstep, self._ensure_mprop_step(yuv),
