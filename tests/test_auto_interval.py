@@ -145,11 +145,16 @@ def test_auto_streaming_cadence(stable_frames):
         assert sched.steps_run > sched.keyframe_steps
 
 
-def test_auto_streaming_multiface_rejected():
+def test_auto_streaming_multiface_degrades_to_full():
+    """A MULTI-FACE scheduler handed "auto" (e.g. the serve group runner
+    wrapping a multiface-auto detector) degrades to full detection every
+    step — never an error mid-job; the solo analyze paths are where the
+    multi-face ladder runs."""
     det = Detector(DetectorConfig(frame_batch=8, **MT))
-    with pytest.raises(ValueError, match="single-face"):
-        StreamScheduler(det, n_streams=1, fps=10, detect_interval="auto",
-                        multi_face=True)
+    sched = StreamScheduler(det, n_streams=1, fps=10,
+                            detect_interval="auto", multi_face=True)
+    assert not sched.auto_interval
+    assert sched.detect_interval == 1
 
 
 def test_auto_cli_validation(tmp_path, capsys):

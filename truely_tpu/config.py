@@ -186,8 +186,9 @@ class DetectorConfig:
     # bounded by auto_interval_max exactly as fixed K bounds it.
     # Composes with multi_face (round 5: the ladder's survivor currency
     # is then seeded (row, track) slots); the StreamScheduler's auto
-    # cadence remains single-face (use a fixed interval for multi-face
-    # streaming).
+    # cadence remains single-face — a multi-face scheduler handed "auto"
+    # degrades to full detection every step (use a fixed interval for
+    # propagated multi-face streaming).
     detect_interval: "int | str" = 1
     # "auto" mode's interval cap (power of two; frame_batch must divide
     # by it).  Also the escalation ladder's top rung.

@@ -226,15 +226,17 @@ class StreamScheduler:
         # ladders 1 -> 2 -> ... -> auto_interval_max while refine steps
         # keep re-acquiring the carried seeds, and collapses back to 1
         # when a step loses too many (the same survivor test the
-        # detector's auto mode uses).  Single-face only, like the
-        # detector ladder.
+        # detector's auto mode uses).  The scheduler ladder is
+        # single-face: a MULTI-FACE scheduler handed "auto" (e.g. the
+        # serve group runner wrapping a multiface-auto detector, whose
+        # solo analyze paths do ladder) degrades to full detection every
+        # step — the exactness-vs-solo-full contract, never an error mid
+        # job; use a fixed interval for propagated multi-face streaming.
         self.auto_interval = k == "auto"
+        if self.auto_interval and self.multi_face:
+            self.auto_interval = False
+            k = 1
         if self.auto_interval:
-            if self.multi_face:
-                raise ValueError(
-                    'detect_interval="auto" streaming is single-face; '
-                    "use a fixed interval with multi_face"
-                )
             kmax = self.config.auto_interval_max
             if kmax < 2:
                 raise ValueError(
