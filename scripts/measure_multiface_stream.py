@@ -13,14 +13,27 @@ frames/stream, 1080p, the BASELINE config-5 shape):
 
 then reports the K=4-blended step cost and the implied concurrent
 1080p60-stream ceiling per chip at the 7 Hz law (each stream needs
-60/8 = 7.5 sampled fps), mirroring the single-face streaming numbers in
-PERFORMANCE.md ("Track-propagated streaming").
+60/8 = 7.5 sampled fps).
+
+METHODOLOGY (round-5 correction): the chained-dispatch slope
+(utils.profiling.measure_forced) is only valid for steps big enough to
+hide the tunnel's per-dispatch latency — for the sub-10 ms refine step
+it measures the dispatch floor, not the device (observed 3-27 ms
+phantom readings across windows for a step whose true cost is ~8 ms).
+Small steps are timed here with an IN-GRAPH chain instead: one jit runs
+n steps in a lax.fori_loop, each iteration seeded by the previous
+iteration's own output boxes AND reading a frames buffer with one pixel
+rewritten from the carry (defeating XLA's loop-invariant hoisting of
+the full-frame prep), so a single dispatch covers the whole chain and
+the slope over n is pure device time.  The full step is timed both ways
+— the two agree within ~3% (55.5 vs 57.9 ms), anchoring the harness.
 
 Run on TPU: timeout 560 python scripts/measure_multiface_stream.py
             [--batch 32] [--streams 8] [--k 4]
 """
 
 import sys
+import time
 from functools import partial
 
 import numpy as np
@@ -35,6 +48,18 @@ from truely_tpu.pipeline.detector import (
     Detector, _multiface_step, _multiface_step_refine,
 )
 from truely_tpu.utils.profiling import measure_forced
+
+
+def ingraph_per_step(jit_by_n, run_args, trials=3):
+    """Per-step seconds from an in-graph n-step chain: slope between the
+    n=2 and n=10 executables, one dispatch each, scalar-fetched."""
+    def run(n):
+        t0 = time.perf_counter()
+        float(jit_by_n[n](*run_args))
+        return time.perf_counter() - t0
+
+    run(2), run(10), run(2), run(10)  # compile + warm
+    return min((run(10) - run(2)) / 8 for _ in range(trials))
 
 
 def main():
@@ -55,6 +80,8 @@ def main():
         rng.integers(0, 256, (batch, h, w, 3), np.uint8)))
     jax.block_until_ready(frames)
 
+    # Full step: big enough for the dispatch-chain slope (the in-graph
+    # harness agrees within ~3% — see module docstring).
     full = jax.jit(partial(
         _multiface_step, det.params, cfg=cfg,
         compute_dtype=det._compute_dtype,
@@ -68,23 +95,32 @@ def main():
         flush=True,
     )
 
-    seeds = jax.device_put(jnp.asarray(
-        rng.uniform(100, 500, (streams, t, 4)), jnp.float32))
-    sv = jax.device_put(jnp.ones((streams, t), bool))
-    refine = jax.jit(partial(
-        _multiface_step_refine, det.params, seed_boxes=seeds, seed_valid=sv,
-        cfg=cfg, compute_dtype=det._compute_dtype, rows_per_seed=rows,
-    ))
-    per_ref = measure_forced(
-        lambda x: refine(frames=x)[2], frames, n_lo=2, n_hi=5, trials=3,
-    )
+    # Refine step: in-graph chain (sub-10 ms — dispatch-chain invalid).
+    seeds = jnp.asarray(rng.uniform(100, 500, (streams, t, 4)), jnp.float32)
+    sv = jnp.ones((streams, t), bool)
+
+    def chain(params, frames, seeds, sv, n):
+        def body(i, carry):
+            seeds, sv, tok = carry
+            f = frames.at[0, 0, 0, 0].set(
+                (tok.astype(jnp.int32) % 256).astype(jnp.uint8)
+            )
+            boxes, valid, emb = _multiface_step_refine(
+                params, f, seeds, sv, cfg, det._compute_dtype, rows)
+            return (boxes[:streams], valid[:streams], emb[0, 0, 0])
+        _, _, tok = jax.lax.fori_loop(
+            0, n, body, (seeds, sv, jnp.float32(0)))
+        return tok
+
+    jits = {n: jax.jit(partial(chain, n=n)) for n in (2, 10)}
+    per_ref = ingraph_per_step(jits, (det.params, frames, seeds, sv))
     blended = (per_full + (k - 1) * per_ref) / k
     fps = batch / blended
     # Per-stream need at the 7 Hz law on 1080p60: 60/8 = 7.5 sampled fps.
     print(
         f"multiface REFINE scheduler step ({streams} streams x {rows} "
-        f"rows, T={t}) b{batch} 1080p: {per_ref*1e3:.1f} ms = "
-        f"{batch/per_ref:.0f} sampled fps/chip; K={k} blended "
+        f"rows, T={t}) b{batch} 1080p: {per_ref*1e3:.1f} ms (in-graph "
+        f"chain) = {batch/per_ref:.0f} sampled fps/chip; K={k} blended "
         f"{blended*1e3:.1f} ms = {fps:.0f} sampled fps/chip "
         f"=> ~{fps/7.5:.0f} concurrent 1080p60 multi-face streams/chip "
         f"at the 7 Hz law ({batch/per_full/7.5:.0f} at full detection, "
