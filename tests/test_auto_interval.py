@@ -172,3 +172,56 @@ def test_auto_cli_validation(tmp_path, capsys):
                "--detect-interval", "auto"])
     assert rc == 1
     assert "divisible" in capsys.readouterr().err
+
+
+def test_auto_mesh_matches_unsharded(stable_frames):
+    """DP-sharded adaptive keyframing is exact vs single-device: the
+    ladder's host-synced survivor stats come from the same step outputs,
+    so the rung schedule and every record match (f32 fixture — the same
+    exactness contract the fixed-K mesh tests pin)."""
+    from truely_tpu.parallel.mesh import make_mesh
+    import jax
+
+    cfg = DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=4, **MT
+    )
+    solo = Detector(cfg)
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sharded = Detector(cfg, mesh=mesh)
+    sharded.params = jax.device_put(
+        jax.device_get(solo.params), sharded._params_sharding
+    )
+    res_a = solo.analyze_frames(stable_frames, fps=10)
+    res_b = sharded.analyze_frames(stable_frames, fps=10)
+    assert res_b.fake_score == res_a.fake_score
+    assert (sharded.auto_keyframe_segments, sharded.auto_refine_segments) \
+        == (solo.auto_keyframe_segments, solo.auto_refine_segments)
+    for a, b in zip(res_a.records, res_b.records):
+        assert (a.frame_index, a.has_face, a.flagged, a.counter) == (
+            b.frame_index, b.has_face, b.flagged, b.counter)
+        np.testing.assert_allclose(a.box, b.box, rtol=1e-5, atol=1e-4)
+
+
+def test_auto_multiface_mesh_matches_unsharded(stable_frames):
+    """Multi-face auto on a DP mesh: same ladder schedule and per-track
+    scores as single-device (round 5 — the sharded mdetect/mprop rung
+    executables compose with the host-side ladder)."""
+    from truely_tpu.parallel.mesh import make_mesh
+    import jax
+
+    cfg = DetectorConfig(
+        frame_batch=8, detect_interval="auto", auto_interval_max=4,
+        multi_face=True, **MT
+    )
+    solo = Detector(cfg)
+    mesh = make_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    sharded = Detector(cfg, mesh=mesh)
+    sharded.params = jax.device_put(
+        jax.device_get(solo.params), sharded._params_sharding
+    )
+    score_a, per_a, _ = solo.analyze_frames_tracks(stable_frames, fps=10)
+    score_b, per_b, _ = sharded.analyze_frames_tracks(stable_frames, fps=10)
+    assert score_b == score_a
+    assert np.array_equal(per_a, per_b)
+    assert (sharded.auto_keyframe_segments, sharded.auto_refine_segments) \
+        == (solo.auto_keyframe_segments, solo.auto_refine_segments)
