@@ -1116,3 +1116,55 @@ def test_concurrent_multiface_jobs_share_device_batches(tmp_path):
         assert j.result["trackScores"] == [int(v) for v in solo_tracks]
         resp, _ = call(server, "GET", f"/video/{j.result['resultId']}")
         assert resp.status == 200
+
+
+def test_multiface_auto_server_groups_jobs_via_degrade(tmp_path):
+    """A multi-face server with detect_interval="auto" (round 5): the solo
+    analyze paths ladder, but the grouped-jobs path wraps a
+    StreamScheduler whose multi-face auto cadence DEGRADES to full
+    detection every step — the group must complete (no mid-job
+    ValueError, the pre-degrade behavior) and each job's scores must
+    equal a solo FULL-mode multi-face analysis (the scheduler's
+    exactness-vs-solo-full contract)."""
+    from truely_tpu.config import DetectorConfig, MTCNNConfig
+    from truely_tpu.pipeline.detector import Detector
+
+    mt = MTCNNConfig(
+        pnet_topk_total=64, rnet_capacity=16, onet_capacity=8,
+        thresholds=(0.5, 0.3, 0.2),
+    )
+    cfg = DetectorConfig(
+        frame_batch=96, compute_dtype="float32", yuv_ingest=False,
+        multi_face=True, max_tracks=3, detect_interval="auto",
+        auto_interval_max=4, mtcnn=mt,
+    )
+    det = Detector(cfg)
+    cfg_full = DetectorConfig(
+        frame_batch=96, compute_dtype="float32", yuv_ingest=False,
+        multi_face=True, max_tracks=3, mtcnn=mt,
+    )
+    det_full = Detector(cfg_full)
+    det_full.params = det.params
+    paths = [_make_real_video(tmp_path, f"a{i}.mp4") for i in range(2)]
+    solo_score, solo_tracks, _ = det_full.analyze_video_multiface(paths[0])
+
+    server = TruelyServer(
+        detector=det, agents=FakeAgents(),
+        acquire_module=FakeAcquire(tmp_path), store=ResultStore(),
+        tavily_api_key="", gemini_api_key="",
+    )
+    gate = threading.Event()
+    server.jobs.submit("gate", lambda: gate.wait(30) and {})
+    job_ids = []
+    for p in paths:
+        resp, payload = call(server, "POST", "/jobs/analyze-video",
+                             body={"videoPath": p})
+        assert resp.status == 202
+        job_ids.append(payload["jobId"])
+    gate.set()
+
+    jobs = [server.jobs.wait(j, timeout=300) for j in job_ids]
+    assert [j.status for j in jobs] == ["done", "done"]
+    for j in jobs:
+        assert j.result["fakeScore"] == solo_score
+        assert j.result["trackScores"] == [int(v) for v in solo_tracks]
