@@ -33,7 +33,6 @@ Run on TPU: timeout 560 python scripts/measure_multiface_stream.py
 """
 
 import sys
-import time
 from functools import partial
 
 import numpy as np
@@ -47,19 +46,7 @@ from truely_tpu.config import DetectorConfig
 from truely_tpu.pipeline.detector import (
     Detector, _multiface_step, _multiface_step_refine,
 )
-from truely_tpu.utils.profiling import measure_forced
-
-
-def ingraph_per_step(jit_by_n, run_args, trials=3):
-    """Per-step seconds from an in-graph n-step chain: slope between the
-    n=2 and n=10 executables, one dispatch each, scalar-fetched."""
-    def run(n):
-        t0 = time.perf_counter()
-        float(jit_by_n[n](*run_args))
-        return time.perf_counter() - t0
-
-    run(2), run(10), run(2), run(10)  # compile + warm
-    return min((run(10) - run(2)) / 8 for _ in range(trials))
+from truely_tpu.utils.profiling import measure_forced, measure_ingraph
 
 
 def main():
@@ -99,21 +86,19 @@ def main():
     seeds = jnp.asarray(rng.uniform(100, 500, (streams, t, 4)), jnp.float32)
     sv = jnp.ones((streams, t), bool)
 
-    def chain(params, frames, seeds, sv, n):
-        def body(i, carry):
-            seeds, sv, tok = carry
-            f = frames.at[0, 0, 0, 0].set(
-                (tok.astype(jnp.int32) % 256).astype(jnp.uint8)
-            )
-            boxes, valid, emb = _multiface_step_refine(
-                params, f, seeds, sv, cfg, det._compute_dtype, rows)
-            return (boxes[:streams], valid[:streams], emb[0, 0, 0])
-        _, _, tok = jax.lax.fori_loop(
-            0, n, body, (seeds, sv, jnp.float32(0)))
-        return tok
+    def refine_step(carry, tok, params, frames):
+        seeds, sv = carry
+        # token -> one input pixel: the full-frame prep can't hoist
+        f = frames.at[0, 0, 0, 0].set(
+            (tok.astype(jnp.int32) % 256).astype(jnp.uint8)
+        )
+        boxes, valid, emb = _multiface_step_refine(
+            params, f, seeds, sv, cfg, det._compute_dtype, rows)
+        return (boxes[:streams], valid[:streams]), emb[0, 0, 0]
 
-    jits = {n: jax.jit(partial(chain, n=n)) for n in (2, 10)}
-    per_ref = ingraph_per_step(jits, (det.params, frames, seeds, sv))
+    per_ref = measure_ingraph(
+        refine_step, det.params, frames, carry_init=(seeds, sv),
+    )
     blended = (per_full + (k - 1) * per_ref) / k
     fps = batch / blended
     # Per-stream need at the 7 Hz law on 1080p60: 60/8 = 7.5 sampled fps.

@@ -111,3 +111,38 @@ def test_device_op_table_filters_and_aggregates(tmp_path):
 
 def test_device_op_table_empty_dir(tmp_path):
     assert device_op_table(str(tmp_path)) == []
+
+
+def test_measure_ingraph_positive_slope_and_chains():
+    """The in-graph chain timer (PERFORMANCE.md small-step caveat): a step
+    that threads the carry token into its heavy input measures a positive
+    finite per-step time, and the chain really executes n times (the
+    carry accumulates)."""
+    import jax.numpy as jnp
+
+    from truely_tpu.utils.profiling import measure_ingraph
+
+    w = jnp.eye(128, dtype=jnp.float32)
+
+    def step(carry, tok, w):
+        x = carry.at[0, 0].set(tok)          # token -> heavy input: no hoist
+        y = x @ w + 1.0
+        return y, y[0, 0]
+
+    x0 = jnp.zeros((128, 128), jnp.float32)
+    per = measure_ingraph(step, w, carry_init=x0, n_lo=2, n_hi=10, trials=2)
+    assert 0.0 < per < 1.0
+
+    # Chain-length semantics: n iterations of the same step really ran.
+    import jax
+    from functools import partial
+
+    def chain(carry, n):
+        def body(i, c):
+            carry, tok = c
+            return step(carry, tok, w)[0], step(carry, tok, w)[1]
+        carry, tok = jax.lax.fori_loop(0, n, body, (carry, jnp.float32(0)))
+        return carry
+
+    out = jax.jit(partial(chain, n=3))(x0)
+    assert float(out[1, 1]) == 3.0  # +1.0 per iteration, off the token path

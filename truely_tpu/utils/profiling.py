@@ -133,6 +133,61 @@ def measure_forced(
     )
 
 
+def measure_ingraph(
+    step: Callable[..., Any],
+    *args: Any,
+    n_lo: int = 2,
+    n_hi: int = 10,
+    trials: int = 3,
+    carry_init: Any = None,
+) -> float:
+    """Seconds per call of ``step`` measured with an IN-GRAPH chain — the
+    valid pattern for steps too small for ``measure_forced`` (sub-~10 ms
+    on this rig the chained-dispatch slope measures the tunnel's
+    per-dispatch floor, not the device; see PERFORMANCE.md "Methodology",
+    small-step caveat).
+
+    ``step(carry, tok, *args) -> (next_carry, next_tok)`` (``tok`` a
+    float32 scalar) is called ``n`` times inside one jitted
+    ``lax.fori_loop`` (one dispatch per chain).  CRITICAL for validity:
+    ``step`` must thread ``tok`` into every heavy input it reads (e.g.
+    write it into one pixel of the frames buffer with ``.at[...].set``;
+    ``x + tok*0`` gets algebraically simplified away) — otherwise XLA
+    hoists the loop-invariant work out of the loop and the slope
+    reads ~0.  Returns the best slope between the
+    ``n_lo`` and ``n_hi`` executables over ``trials`` trials.
+
+    Anchor any new harness on a big step first: the ~56 ms full frame
+    step measures within ~3% under both this and ``measure_forced``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    # args flow through the jit as ARGUMENTS (not closure captures —
+    # closed-over device arrays get baked into the graph as constants,
+    # which bloats compiles for frame-sized inputs).
+    def chain(carry, *xs, n):
+        def body(i, c):
+            carry, tok = c
+            carry, tok = step(carry, tok, *xs)
+            return (carry, tok)
+        _, tok = jax.lax.fori_loop(0, n, body, (carry, jnp.float32(0)))
+        return tok
+
+    jits = {n: jax.jit(partial(chain, n=n)) for n in (n_lo, n_hi)}
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(jits[n](carry_init, *args))
+        return time.perf_counter() - t0
+
+    run(n_lo), run(n_hi), run(n_lo), run(n_hi)  # compile + warm
+    return min(
+        (run(n_hi) - run(n_lo)) / (n_hi - n_lo) for _ in range(trials)
+    )
+
+
 def device_op_table(
     trace_dir: str, *, device_substr: str = "TPU"
 ) -> List[Tuple[str, float, int]]:
